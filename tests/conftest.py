@@ -1,0 +1,24 @@
+"""Test harness config.
+
+All tests run on a virtual 8-device CPU platform so sharding/pjit paths are
+exercised without TPU hardware (the fake-cluster capability the reference
+lacks — SURVEY.md §4). Must run before the first jax import.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

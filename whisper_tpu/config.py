@@ -1,0 +1,123 @@
+"""Model dimension tables and engine configuration.
+
+The reference selects models by file-path convention (``prefix.tflite`` vs
+``prefix.{encoder,decoder}.tflite`` — whisper.cpp:669,743-744) and has no
+notion of architecture hyperparameters: they are baked into the flatbuffer
+graph. Here the architecture is explicit: :class:`ModelDims` carries the
+Whisper family hyperparameters and :class:`EngineConfig` unifies the
+reference's three config tiers (CLI11 flags app/encdec.cpp:30-37, positional
+argv app/minimal.cpp:22-34, env vars scripts/run.sh:3) into one dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+# --- Audio frontend constants (reference whisper.h:34-39) -------------------
+SAMPLE_RATE = 16_000
+N_FFT = 400
+HOP_LENGTH = 160
+CHUNK_SECONDS = 30
+N_SAMPLES = SAMPLE_RATE * CHUNK_SECONDS  # 480_000 (whisper.cpp:687,698,753)
+N_FRAMES = N_SAMPLES // HOP_LENGTH  # 3_000 mel frames (whisper.h:39)
+
+# --- Text-side constants (reference whisper.h:41-42) ------------------------
+N_VOCAB_ENGLISH = 51_864
+N_VOCAB_MULTILINGUAL = 51_865
+N_VOCAB_LARGE_V3 = 51_866  # large-v3 adds the <|yue|> language token
+N_TEXT_CTX = 448
+N_AUDIO_CTX = 1_500
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelDims:
+    """Whisper family architecture hyperparameters.
+
+    Mirrors openai-whisper's ModelDimensions; the reference never names these
+    because they live inside the exported graph (export/generate.py:13-30).
+    """
+
+    n_mels: int = 80
+    n_audio_ctx: int = N_AUDIO_CTX
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_vocab: int = N_VOCAB_MULTILINGUAL
+    n_text_ctx: int = N_TEXT_CTX
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+    @property
+    def multilingual(self) -> bool:
+        return self.n_vocab >= N_VOCAB_MULTILINGUAL
+
+
+def _dims(state, head, layer, **kw) -> ModelDims:
+    return ModelDims(
+        n_audio_state=state,
+        n_audio_head=head,
+        n_audio_layer=layer,
+        n_text_state=state,
+        n_text_head=head,
+        n_text_layer=layer,
+        **kw,
+    )
+
+
+MODEL_DIMS = {
+    "tiny.en": _dims(384, 6, 4, n_vocab=N_VOCAB_ENGLISH),
+    "tiny": _dims(384, 6, 4),
+    "base.en": _dims(512, 8, 6, n_vocab=N_VOCAB_ENGLISH),
+    "base": _dims(512, 8, 6),
+    "small.en": _dims(768, 12, 12, n_vocab=N_VOCAB_ENGLISH),
+    "small": _dims(768, 12, 12),
+    "medium.en": _dims(1024, 16, 24, n_vocab=N_VOCAB_ENGLISH),
+    "medium": _dims(1024, 16, 24),
+    "large": _dims(1280, 20, 32),
+    "large-v2": _dims(1280, 20, 32),
+    "large-v3": _dims(1280, 20, 32, n_mels=128, n_vocab=N_VOCAB_LARGE_V3),
+    "large-v3-turbo": _dims(1280, 20, 32, n_mels=128, n_vocab=N_VOCAB_LARGE_V3),
+}
+# turbo has 4 decoder layers
+MODEL_DIMS["large-v3-turbo"] = dataclasses.replace(
+    MODEL_DIMS["large-v3"], n_text_layer=4
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """One config object for the whole stack.
+
+    Replaces the reference's scattered knobs: EngineType (whisper.h:199-204),
+    multilingual flag (whisper.h:259-260), hardcoded language "de"
+    (whisper.cpp:327-339), max_decoder_tokens=30 (whisper.cpp:364), and the
+    interpreter thread count (whisper.cpp:718).
+    """
+
+    model: str = "tiny"
+    language: Optional[str] = None  # None => English-only model / autodetect off
+    task: str = "transcribe"  # or "translate"
+    beam_size: int = 1  # 1 => greedy (reference behavior, whisper.cpp:346-361)
+    max_new_tokens: Optional[int] = None  # None => fill n_text_ctx budget
+    timestamps: bool = False  # reference always sends <|notimestamps|>
+    suppress_blank: bool = True
+    suppress_nonspeech: bool = True
+    batch_size: int = 1
+    dtype: str = "bfloat16"  # compute dtype on TPU; "float32" for parity tests
+    quantization: Optional[str] = None  # None | "int8" weight-only
+    # Parallelism (reference: single-device; see SURVEY.md §2b)
+    mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model)
+    mesh_axis_names: Tuple[str, ...] = ("data", "model")
+
+    def dims(self) -> ModelDims:
+        return MODEL_DIMS[self.model]
+
+    @property
+    def multilingual(self) -> bool:
+        return not self.model.endswith(".en")

@@ -1,0 +1,13 @@
+from whisper_tpu.tokenizer.vocab import Vocab, SpecialTokens
+from whisper_tpu.tokenizer.languages import LANGUAGES, language_id, lang_code
+from whisper_tpu.tokenizer.detokenize import decode_tokens, remove_extra_spaces
+
+__all__ = [
+    "Vocab",
+    "SpecialTokens",
+    "LANGUAGES",
+    "language_id",
+    "lang_code",
+    "decode_tokens",
+    "remove_extra_spaces",
+]
