@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# This image's sitecustomize imports jax and registers the axon TPU backend
+# before conftest runs, so the env var alone is too late — pin the platform
+# through the live config object as well.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
