@@ -1,0 +1,171 @@
+"""Model + decode-loop invariants.
+
+The load-bearing test is incremental-vs-full-recompute equivalence: the
+reference decoder *is* a full recompute every step (whisper.cpp:367-375), so
+our KV-cached loop reproducing the recompute's tokens is exactly the parity
+the reference's behavior demands (SURVEY.md §2a.13).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_tpu.config import ModelDims
+from whisper_tpu.decode.greedy import argmax_last, greedy_decode
+from whisper_tpu.models.decoder import (
+    decoder_prefill,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from whisper_tpu.models.encoder import encode
+from whisper_tpu.models.params import count_params, init_params
+
+TINY = ModelDims(
+    n_mels=80,
+    n_audio_ctx=30,
+    n_audio_state=64,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_vocab=100,
+    n_text_ctx=24,
+    n_text_state=64,
+    n_text_head=2,
+    n_text_layer=2,
+)
+EOT = 99
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(TINY, jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def enc_out(params):
+    mel = jax.random.normal(jax.random.PRNGKey(1), (2, TINY.n_mels, 60))
+    return encode(params, mel, TINY)
+
+
+class TestEncoder:
+    def test_shape_and_finite(self, enc_out):
+        assert enc_out.shape == (2, 30, 64)  # conv2 stride halves frames
+        assert np.isfinite(np.asarray(enc_out)).all()
+
+    def test_batch_independence(self, params):
+        mel = jax.random.normal(jax.random.PRNGKey(2), (3, TINY.n_mels, 60))
+        full = np.asarray(encode(params, mel, TINY))
+        one = np.asarray(encode(params, mel[1:2], TINY))
+        np.testing.assert_allclose(full[1], one[0], atol=1e-5)
+
+
+class TestArgmaxLast:
+    def test_ties_pick_highest_index(self):
+        # Reference `>=` scan semantics (whisper.cpp:346-361).
+        x = jnp.array([1.0, 5.0, 3.0, 5.0, 2.0])
+        assert int(argmax_last(x)) == 3
+        x2 = jnp.array([[7.0, 7.0, 7.0], [0.0, 1.0, 1.0]])
+        np.testing.assert_array_equal(np.asarray(argmax_last(x2)), [2, 2])
+
+    def test_no_tie_matches_argmax(self):
+        x = jax.random.normal(jax.random.PRNGKey(3), (16, 100))
+        np.testing.assert_array_equal(
+            np.asarray(argmax_last(x)), np.asarray(jnp.argmax(x, axis=-1))
+        )
+
+
+def naive_recompute_decode(params, enc_out, prompt, max_new):
+    """Reference-style O(n²) greedy: rebuild the whole sequence each step with
+    a fresh cache (the cache sized to the sequence acts as plain attention)."""
+    cross_kv = precompute_cross_kv(params, enc_out, TINY)
+    tokens = np.asarray(prompt).tolist()
+    b = len(tokens)
+    finished = [False] * b
+    for _ in range(max_new):
+        t = len(tokens[0])
+        cache = init_kv_cache(TINY, b, t)
+        seq = jnp.asarray(tokens, dtype=jnp.int32)
+        logits, _ = decoder_prefill(params, seq, cache, cross_kv, TINY)
+        nxt = np.asarray(argmax_last(logits[:, -1, :]))
+        for i in range(b):
+            tok = EOT if finished[i] else int(nxt[i])
+            tokens[i].append(tok)
+            finished[i] = finished[i] or tok == EOT
+        if all(finished):
+            break
+    return tokens
+
+
+class TestGreedyDecode:
+    def test_kv_cache_matches_full_recompute(self, params, enc_out):
+        prompt = jnp.array([[1, 2], [3, 4]], dtype=jnp.int32)
+        max_new = 8
+        got, lengths = greedy_decode(
+            params, enc_out, prompt, TINY, eot=EOT, max_new_tokens=max_new
+        )
+        want = naive_recompute_decode(params, enc_out, prompt, max_new)
+        got = np.asarray(got)
+        for i, w in enumerate(want):
+            np.testing.assert_array_equal(got[i, : len(w)], w)
+
+    def test_batched_matches_single(self, params, enc_out):
+        prompt = jnp.array([[1, 2], [3, 4]], dtype=jnp.int32)
+        full, _ = greedy_decode(
+            params, enc_out, prompt, TINY, eot=EOT, max_new_tokens=6
+        )
+        for i in range(2):
+            solo, _ = greedy_decode(
+                params, enc_out[i : i + 1], prompt[i : i + 1], TINY,
+                eot=EOT, max_new_tokens=6,
+            )
+            np.testing.assert_array_equal(np.asarray(full)[i], np.asarray(solo)[0])
+
+    def test_output_includes_prompt(self, params, enc_out):
+        prompt = jnp.array([[5, 6, 7], [8, 9, 10]], dtype=jnp.int32)
+        toks, lengths = greedy_decode(
+            params, enc_out, prompt, TINY, eot=EOT, max_new_tokens=4
+        )
+        np.testing.assert_array_equal(np.asarray(toks)[:, :3], np.asarray(prompt))
+        assert (np.asarray(lengths) <= toks.shape[1]).all()
+
+    def test_budget_overflow_raises(self, params, enc_out):
+        prompt = jnp.zeros((1, 4), dtype=jnp.int32)
+        with pytest.raises(ValueError):
+            greedy_decode(
+                params, enc_out[:1], prompt, TINY, eot=EOT,
+                max_new_tokens=TINY.n_text_ctx,
+            )
+
+    def test_logit_bias_suppression(self, params, enc_out):
+        # Suppressing every token except EOT must end decoding immediately.
+        bias = np.full((TINY.n_vocab,), -1e30, dtype=np.float32)
+        bias[EOT] = 0.0
+        prompt = jnp.array([[1, 2]], dtype=jnp.int32)
+        toks, lengths = greedy_decode(
+            params, enc_out[:1], prompt, TINY, eot=EOT, max_new_tokens=5,
+            logit_bias=jnp.asarray(bias),
+        )
+        assert int(np.asarray(toks)[0, 2]) == EOT
+        assert int(lengths[0]) == 3
+
+
+class TestParams:
+    def test_count_tiny_real_dims(self):
+        from whisper_tpu.config import MODEL_DIMS
+
+        p = init_params(MODEL_DIMS["tiny"], jax.random.PRNGKey(0))
+        n = count_params(p)
+        # openai tiny ≈ 39M params (37.18M non-embedding + embeddings).
+        assert 35e6 < n < 45e6
+
+    def test_jit_decode_no_retrace(self, params, enc_out):
+        # Whole greedy decode must be jittable (single compiled program).
+        f = jax.jit(
+            lambda p, e, pr: greedy_decode(
+                p, e, pr, TINY, eot=EOT, max_new_tokens=4
+            )
+        )
+        prompt = jnp.array([[1, 2], [3, 4]], dtype=jnp.int32)
+        t1, _ = f(params, enc_out, prompt)
+        t2, _ = f(params, enc_out, prompt)
+        np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))

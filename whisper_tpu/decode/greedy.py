@@ -1,0 +1,116 @@
+"""Greedy autoregressive decoding as one fixed-shape ``lax.while_loop``.
+
+TPU inversion of the reference's hot loop (``Decoder::forward``,
+whisper.cpp:314-403): where the reference resizes interpreter tensors and
+recomputes the full prefix each step (O(n²), SURVEY.md §3.2), this loop has
+static shapes end-to-end — a preallocated token buffer, a KV cache updated in
+place (XLA donates/aliases the buffers across iterations), and one compiled
+step function. Batch items that emit EOT keep looping but are frozen by a
+``finished`` mask; the loop exits early when every item is done, matching the
+reference's per-utterance EOT/budget stop (whisper.cpp:363-399).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import ModelDims
+from whisper_tpu.models.decoder import (
+    KVCache,
+    decoder_prefill,
+    decoder_step,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from whisper_tpu.models.params import Params
+
+
+def argmax_last(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Argmax where ties pick the HIGHEST index.
+
+    The reference compares with ``>=`` while scanning ascending indices, so
+    the last maximal index wins (whisper.cpp:346-361) — the opposite of
+    jnp.argmax. Decoding the flipped array restores that tie-break exactly.
+    """
+    n = logits.shape[axis]
+    return (n - 1) - jnp.argmax(jnp.flip(logits, axis=axis), axis=axis)
+
+
+class GreedyState(NamedTuple):
+    pos: jnp.ndarray  # scalar int32: next position to write
+    tokens: jnp.ndarray  # [B, total_len] int32
+    cache: KVCache
+    finished: jnp.ndarray  # [B] bool
+
+
+def greedy_decode(
+    params: Params,
+    enc_out: jnp.ndarray,  # [B, n_audio_ctx, d]
+    prompt: jnp.ndarray,  # [B, P] int32
+    dims: ModelDims,
+    eot: int,
+    max_new_tokens: int,
+    logit_bias: Optional[jnp.ndarray] = None,  # additive [n_vocab] mask
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens [B, P + max_new_tokens], lengths [B]).
+
+    Output rows start with the prompt (the golden tiny.en IDs include the
+    prompt tokens — whisper.h:27-32); unused tail positions hold ``eot``.
+    ``lengths`` counts valid tokens including the terminating EOT.
+    """
+    b, p_len = prompt.shape
+    total_len = p_len + max_new_tokens
+    if total_len > dims.n_text_ctx:
+        raise ValueError(
+            f"prompt({p_len}) + max_new({max_new_tokens}) exceeds n_text_ctx"
+        )
+
+    cross_kv = precompute_cross_kv(params, enc_out, dims)
+    cache = init_kv_cache(dims, b, total_len, dtype=compute_dtype)
+
+    def pick(logits: jnp.ndarray) -> jnp.ndarray:
+        if logit_bias is not None:
+            logits = logits + logit_bias
+        return argmax_last(logits).astype(jnp.int32)
+
+    # --- prefill: static prompt, one pass ---
+    logits, cache = decoder_prefill(
+        params, prompt, cache, cross_kv, dims, compute_dtype
+    )
+    first = pick(logits[:, -1, :])  # [B]
+
+    tokens = jnp.full((b, total_len), eot, dtype=jnp.int32)
+    tokens = tokens.at[:, :p_len].set(prompt)
+    tokens = tokens.at[:, p_len].set(first)
+    finished = first == eot
+
+    init = GreedyState(jnp.int32(p_len + 1), tokens, cache, finished)
+
+    def cond(s: GreedyState):
+        return (s.pos < total_len) & ~jnp.all(s.finished)
+
+    def body(s: GreedyState) -> GreedyState:
+        prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, axis=1, keepdims=False)
+        logits, cache = decoder_step(
+            params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype
+        )
+        nxt = pick(logits)
+        nxt = jnp.where(s.finished, eot, nxt)
+        tokens = jax.lax.dynamic_update_index_in_dim(s.tokens, nxt, s.pos, axis=1)
+        return GreedyState(s.pos + 1, tokens, cache, s.finished | (nxt == eot))
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    # Length = index of first EOT at/after the prompt, +1 to include it.
+    after = final.tokens[:, p_len:]
+    is_eot = after == eot
+    any_eot = jnp.any(is_eot, axis=1)
+    first_eot = jnp.argmax(is_eot, axis=1)
+    lengths = jnp.where(
+        any_eot, p_len + first_eot + 1, jnp.int32(total_len)
+    ).astype(jnp.int32)
+    return final.tokens, lengths

@@ -1,0 +1,52 @@
+"""Decoder prompt construction.
+
+Contract (SURVEY.md §2a.8, reference whisper.cpp:327-339):
+
+* multilingual: ``[sot, sot+1+language_id(lang), task, notimestamps]`` — the
+  reference hardcodes ``"de"`` and expects ``[50258, 50261, 50359, 50363]``;
+* English-only models: ``[sot, notimestamps]`` (the golden tiny.en output
+  starts ``50257, 50362`` — whisper.h:27-32).
+
+``reference_quirks=True`` reproduces the reference's literal multilingual
+prompt, which uses the *unshifted* task ID 50359 and notimestamps 50363
+(whisper.cpp:331-339) instead of the true multilingual table values
+(transcribe=50360, notimestamps=50364). Real checkpoints expect the true
+values; the quirk switch exists for bit-parity testing against the reference.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from whisper_tpu.tokenizer.languages import language_id
+from whisper_tpu.tokenizer.vocab import SpecialTokens, special_tokens_for
+
+
+def build_prompt(
+    multilingual: bool,
+    language: Optional[str] = None,
+    task: str = "transcribe",
+    timestamps: bool = False,
+    specials: Optional[SpecialTokens] = None,
+    reference_quirks: bool = False,
+) -> List[int]:
+    st = specials or special_tokens_for(multilingual)
+    if not multilingual:
+        prompt = [st.sot]
+        if not timestamps:
+            prompt.append(st.not_)
+        return prompt
+
+    lang = language or "en"
+    if reference_quirks:
+        # Literal reference sequence (whisper.cpp:331-339).
+        prompt = [st.sot, st.lang_token(language_id(lang)), 50359]
+        if not timestamps:
+            prompt.append(50363)
+        return prompt
+
+    task_token = st.transcribe if task == "transcribe" else st.translate
+    prompt = [st.sot, st.lang_token(language_id(lang)), task_token]
+    if not timestamps:
+        prompt.append(st.not_)
+    return prompt

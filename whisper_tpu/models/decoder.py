@@ -1,0 +1,158 @@
+"""Text decoder with KV-cached self-attention and precomputed cross-attention.
+
+The reference decoder (``Decoder::forward``, whisper.cpp:314-403) re-feeds the
+whole growing prompt and re-allocates interpreter tensors every step — O(n²)
+full recomputes with no KV cache (SURVEY.md §2a.13). Here decoding is the
+TPU-idiomatic inverse: fixed-shape buffers, one prefill pass over the static
+prompt, then single-token steps against a preallocated cache, all shapes
+static so the whole loop jit-compiles once (see whisper_tpu.decode.greedy).
+
+Layout choices:
+* caches and cross-KV are stacked along a leading layer axis and the block
+  stack runs as ``lax.scan``, mirroring params.py;
+* cache layout [L, B, ctx, H, Dh] — attention contracts over the ctx axis
+  with einsum, keeping the head axis free for tensor-parallel sharding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import ModelDims
+from whisper_tpu.models import layers
+from whisper_tpu.models.params import Params
+
+KVCache = Dict[str, jnp.ndarray]  # {"k": [L,B,ctx,H,Dh], "v": [L,B,ctx,H,Dh]}
+
+NEG_INF = -1e30  # large-negative instead of -inf: keeps softmax NaN-free for
+# fully-masked (not yet written) cache rows
+
+
+def init_kv_cache(
+    dims: ModelDims, batch: int, max_len: int | None = None, dtype=jnp.float32
+) -> KVCache:
+    max_len = max_len or dims.n_text_ctx
+    h, dh = dims.n_text_head, dims.n_text_state // dims.n_text_head
+    shape = (dims.n_text_layer, batch, max_len, h, dh)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def precompute_cross_kv(
+    params: Params, enc_out: jnp.ndarray, dims: ModelDims
+) -> KVCache:
+    """Cross-attention K/V over encoder states, computed once per utterance:
+    [L, B, n_audio_ctx, H, Dh]. The reference pays this matmul again on every
+    decode step inside its graph."""
+    n_head = dims.n_text_head
+
+    def per_layer(_, bp):
+        k = layers.split_heads(layers.linear(bp["cross"]["k"], enc_out), n_head)
+        v = layers.split_heads(layers.linear(bp["cross"]["v"], enc_out), n_head)
+        return None, (k, v)
+
+    _, (xk, xv) = jax.lax.scan(per_layer, None, params["decoder"]["blocks"])
+    return {"k": xk, "v": xv}
+
+
+def _decoder_forward(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, T] int32, T static
+    pos_offset: jnp.ndarray,  # scalar int32: absolute position of tokens[:, 0]
+    cache: KVCache,
+    cross_kv: KVCache,
+    dims: ModelDims,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Shared body for prefill (T = prompt length) and step (T = 1).
+
+    Returns (logits [B, T, n_vocab] float32, updated cache).
+    """
+    dec = params["decoder"]
+    n_head = dims.n_text_head
+    b, t = tokens.shape
+    ctx = cache["k"].shape[2]
+
+    x = dec["tok_emb"][tokens] + jax.lax.dynamic_slice_in_dim(
+        dec["pos_emb"], pos_offset, t, axis=0
+    )
+    x = x.astype(compute_dtype)
+
+    # Causal mask against absolute cache positions: query at abs position
+    # pos_offset + i may see keys at positions <= that. Unwritten cache rows
+    # sit above the diagonal and are masked by construction.
+    q_pos = pos_offset + jax.lax.broadcasted_iota(jnp.int32, (t, ctx), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, ctx), 1)
+    mask = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(compute_dtype)
+
+    def block(h, xs):
+        bp, k_cache_l, v_cache_l, xk_l, xv_l = xs
+
+        # --- causal self-attention against the cache ---
+        hn = layers.layer_norm(bp["ln1"], h)
+        q = layers.split_heads(layers.linear(bp["attn"]["q"], hn), n_head)
+        k_new = layers.split_heads(layers.linear(bp["attn"]["k"], hn), n_head)
+        v_new = layers.split_heads(layers.linear(bp["attn"]["v"], hn), n_head)
+        k_cache_l = jax.lax.dynamic_update_slice_in_dim(
+            k_cache_l, k_new.astype(k_cache_l.dtype), pos_offset, axis=1
+        )
+        v_cache_l = jax.lax.dynamic_update_slice_in_dim(
+            v_cache_l, v_new.astype(v_cache_l.dtype), pos_offset, axis=1
+        )
+        attn_out = layers.qkv_attention(q, k_cache_l, v_cache_l, mask)
+        h = h + layers.linear(bp["attn"]["o"], layers.merge_heads(attn_out))
+
+        # --- cross-attention over precomputed encoder K/V ---
+        hn = layers.layer_norm(bp["ln2"], h)
+        qx = layers.split_heads(layers.linear(bp["cross"]["q"], hn), n_head)
+        cross_out = layers.qkv_attention(qx, xk_l, xv_l, mask=None)
+        h = h + layers.linear(bp["cross"]["o"], layers.merge_heads(cross_out))
+
+        # --- MLP ---
+        h = h + layers.mlp(bp["mlp"], layers.layer_norm(bp["ln3"], h))
+        return h, (k_cache_l, v_cache_l)
+
+    xs = (dec["blocks"], cache["k"], cache["v"], cross_kv["k"], cross_kv["v"])
+    x, (new_k, new_v) = jax.lax.scan(block, x, xs)
+
+    x = layers.layer_norm(dec["ln"], x)
+    logits = jnp.einsum(
+        "btd,vd->btv",
+        x.astype(jnp.float32),
+        dec["tok_emb"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return logits, {"k": new_k, "v": new_v}
+
+
+def decoder_prefill(
+    params: Params,
+    prompt: jnp.ndarray,  # [B, P]
+    cache: KVCache,
+    cross_kv: KVCache,
+    dims: ModelDims,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Run the static prompt through the decoder once, filling cache[0:P].
+    Returns (logits [B, P, V], cache)."""
+    return _decoder_forward(
+        params, prompt, jnp.int32(0), cache, cross_kv, dims, compute_dtype
+    )
+
+
+def decoder_step(
+    params: Params,
+    token: jnp.ndarray,  # [B] int32 — token at absolute position `pos`
+    pos: jnp.ndarray,  # scalar int32
+    cache: KVCache,
+    cross_kv: KVCache,
+    dims: ModelDims,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One autoregressive step. Returns (logits [B, V], updated cache)."""
+    logits, cache = _decoder_forward(
+        params, token[:, None], pos, cache, cross_kv, dims, compute_dtype
+    )
+    return logits[:, 0, :], cache

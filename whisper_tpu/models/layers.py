@@ -1,0 +1,111 @@
+"""Neural net building blocks as pure functions over param pytrees.
+
+This is the layer the reference outsources to the TFLite interpreter + Flex
+delegate (SURVEY.md L1, whisper.h:128-138): here the "ops" are jnp/einsum
+expressions the XLA TPU compiler fuses and tiles onto the MXU directly. All
+matmuls take ``preferred_element_type=float32`` so bf16 params accumulate in
+f32 (MXU native behavior).
+
+Param pytree conventions
+  linear:    {"w": [d_in, d_out], "b": [d_out]}     (b optional — whisper's
+              attention K projection is bias-free)
+  layernorm: {"g": [d], "b": [d]}
+  conv1d:    {"w": [width, c_in, c_out], "b": [c_out]}
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+ACC_DTYPE = jnp.float32
+
+
+def linear(p, x):
+    y = jnp.einsum("...i,io->...o", x, p["w"], preferred_element_type=ACC_DTYPE)
+    if "b" in p:
+        y = y + p["b"].astype(ACC_DTYPE)
+    return y.astype(x.dtype)
+
+
+def layer_norm(p, x, eps: float = 1e-5):
+    # Always normalize in f32: bf16 mean/variance is a real WER hazard.
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["g"].astype(jnp.float32) + p["b"].astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def gelu(x):
+    # Exact (erf) GELU — what torch F.gelu defaults to in the weights'
+    # native implementation; the tanh approximation shifts logits enough
+    # to break token parity on near-ties.
+    return jax.nn.gelu(x, approximate=False)
+
+
+def conv1d(p, x, stride: int = 1):
+    """[B, T, C_in] → [B, T', C_out], SAME-style padding of 1 each side for
+    width-3 kernels (the encoder stem's geometry)."""
+    width = p["w"].shape[0]
+    pad = (width - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=ACC_DTYPE,
+    )
+    return (y + p["b"].astype(ACC_DTYPE)).astype(x.dtype)
+
+
+def split_heads(x, n_head: int):
+    """[B, T, d] → [B, T, H, Dh]."""
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head)
+
+
+def merge_heads(x):
+    b, t, h, dh = x.shape
+    return x.reshape(b, t, h * dh)
+
+
+def qkv_attention(
+    q: jnp.ndarray,  # [B, Tq, H, Dh]
+    k: jnp.ndarray,  # [B, Tk, H, Dh]
+    v: jnp.ndarray,  # [B, Tk, H, Dh]
+    mask: Optional[jnp.ndarray] = None,  # broadcastable to [B, H, Tq, Tk]
+) -> jnp.ndarray:
+    """Scaled dot-product attention with Whisper's split scaling: q and k each
+    scaled by Dh^-0.25 (matches the weights' native numerics; combined scale
+    is the usual 1/sqrt(Dh)). Softmax in f32 on the VPU; both matmuls hit the
+    MXU. Returns [B, Tq, H, Dh]."""
+    dh = q.shape[-1]
+    scale = dh**-0.25
+    qs = q.astype(ACC_DTYPE) * scale
+    ks = k.astype(ACC_DTYPE) * scale
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qs, ks, preferred_element_type=ACC_DTYPE)
+    if mask is not None:
+        scores = scores + mask.astype(ACC_DTYPE)
+    weights = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights.astype(v.dtype), v, preferred_element_type=ACC_DTYPE
+    )
+    return out.astype(v.dtype)
+
+
+def mha_self(p, x, n_head: int, mask=None):
+    """Full (non-cached) multi-head self-attention block body."""
+    q = split_heads(linear(p["q"], x), n_head)
+    k = split_heads(linear(p["k"], x), n_head)
+    v = split_heads(linear(p["v"], x), n_head)
+    o = qkv_attention(q, k, v, mask)
+    return linear(p["o"], merge_heads(o))
+
+
+def mlp(p, x):
+    return linear(p["fc2"], gelu(linear(p["fc1"], x)))
