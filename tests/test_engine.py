@@ -1,0 +1,84 @@
+"""Engine API tests: Monolith vs EncDec parity, batching, file I/O
+(reference surface whisper.h:159-204, factory whisper.cpp:778-790)."""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.config import EngineConfig
+from whisper_tpu.engine import EncDec, EngineType, Monolith, create_engine
+
+
+def _noise(seconds=1.0, seed=0):
+    rng = np.random.default_rng(seed)
+    return (0.1 * rng.standard_normal(int(16_000 * seconds))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return EngineConfig(model="dev.en", max_new_tokens=6, dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def monolith(cfg):
+    return Monolith.from_random(cfg, seed=0)
+
+
+@pytest.fixture(scope="module")
+def encdec(cfg):
+    return EncDec.from_random(cfg, seed=0)
+
+
+class TestEngineParity:
+    def test_monolith_encdec_same_tokens(self, monolith, encdec):
+        # Same weights, same input → identical IDs: the reference treats the
+        # two engines as interchangeable surfaces over one model.
+        x = _noise()
+        a = monolith.transcribe(x)
+        b = encdec.transcribe(x)
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+        assert a.text == b.text
+
+    def test_prompt_included_in_output(self, monolith):
+        # English prompt [sot, notimestamps] = [50257, 50362] leads the IDs,
+        # as in the golden output (whisper.h:27-32).
+        r = monolith.transcribe(_noise())
+        assert r.tokens[0] == 50257 and r.tokens[1] == 50362
+
+    def test_batch_matches_single(self, monolith):
+        xs = np.stack([_noise(seed=s) for s in range(3)])
+        batch = monolith.transcribe_batch(xs)
+        for i in range(3):
+            solo = monolith.transcribe(xs[i])
+            np.testing.assert_array_equal(batch[i].tokens, solo.tokens)
+
+    def test_transcribe_file(self, monolith, tmp_path):
+        from whisper_tpu.audio.wav import write_wav
+
+        p = str(tmp_path / "t.wav")
+        write_wav(p, _noise())
+        r = monolith.transcribe(p)
+        assert isinstance(r.text, str)
+        assert r.length >= 2
+
+    def test_omit_special_tokens(self, monolith):
+        x = _noise()
+        raw = monolith.transcribe(x, omit_special_tokens=False)
+        clean = monolith.transcribe(x, omit_special_tokens=True)
+        # Prompt surfaces visible only in raw mode ("special" = id >= eot,
+        # whisper.cpp:648).
+        assert raw.text.startswith("<|startoftranscript_|><|notimestamps|>")
+        assert "<|startoftranscript_|>" not in clean.text
+        assert "<|notimestamps|>" not in clean.text
+
+    def test_factory(self, cfg):
+        e0 = create_engine(EngineType.MONOLITH, cfg)
+        e1 = create_engine(1, cfg)
+        assert isinstance(e0, Monolith) and isinstance(e1, EncDec)
+
+    def test_long_audio_truncated(self, monolith):
+        # 31 s input → padded/truncated to exactly 480,000 samples
+        # (whisper.cpp:698) — must not crash and equals the 30 s prefix.
+        x31 = _noise(seconds=31.0)
+        a = monolith.transcribe(x31)
+        b = monolith.transcribe(x31[: 16_000 * 30])
+        np.testing.assert_array_equal(a.tokens, b.tokens)

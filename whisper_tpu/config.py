@@ -89,6 +89,11 @@ MODEL_DIMS["large-v3-turbo"] = dataclasses.replace(
     MODEL_DIMS["large-v3"], n_text_layer=4
 )
 
+# Development model: real vocab/context geometry, minimal width/depth — for
+# CPU tests and CI where a real checkpoint would be needlessly slow.
+MODEL_DIMS["dev"] = _dims(64, 2, 2)
+MODEL_DIMS["dev.en"] = _dims(64, 2, 2, n_vocab=N_VOCAB_ENGLISH)
+
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:

@@ -1,0 +1,275 @@
+"""Engine API: the reference's L3 surface, TPU-native underneath.
+
+Mirrors whisper.h:159-204 — abstract ``Engine`` with
+``transcribe(samples)`` / ``transcribe(path)``, concrete ``Monolith`` and
+``EncDec``, ``EngineType`` enum, and a ``create_engine`` factory
+(whisper.cpp:778-790) — but the two engine kinds are now two *compilation
+strategies* over the same pure functions:
+
+* **Monolith**: one jit program: pad → mel → encode → greedy while_loop →
+  token IDs. This is the idiomatic TPU shape; the reference proves the
+  concept with its graph-embedded generate (whisper.cpp:667-738) but pays
+  TFLite+Flex interpretation for it.
+* **EncDec**: separate encode/decode jits (whisper.cpp:740-776's two Atoms),
+  which is what disaggregated serving wants — encoder batch ≠ decoder batch.
+
+"AllocateTensors" ≙ jit compile; the interpreter arena memcpys
+(whisper.cpp:293,313-323) become a single host→device transfer of the
+audio batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from functools import partial
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.audio.wav import read_wav, read_wav_legacy
+from whisper_tpu.config import (
+    EngineConfig,
+    ModelDims,
+    N_SAMPLES,
+)
+from whisper_tpu.decode.greedy import greedy_decode
+from whisper_tpu.decode.prompt import build_prompt
+from whisper_tpu.frontend.filters import mel_filterbank
+from whisper_tpu.frontend.mel import log_mel_spectrogram, pad_or_trim
+from whisper_tpu.models.encoder import encode
+from whisper_tpu.models.params import Params, init_params
+from whisper_tpu.tokenizer.binfmt import read_bin
+from whisper_tpu.tokenizer.detokenize import decode_tokens, remove_extra_spaces
+from whisper_tpu.tokenizer.vocab import Vocab
+
+
+class EngineType(enum.IntEnum):
+    """whisper.h:199-204."""
+
+    MONOLITH = 0
+    ENCDEC = 1
+
+
+@dataclasses.dataclass
+class TranscriptionResult:
+    text: str
+    tokens: np.ndarray  # [total_len] int32, prompt included
+    length: int  # valid tokens incl. terminating EOT
+    mel_ms: float = 0.0
+    model_ms: float = 0.0
+
+    def clean_text(self) -> str:
+        return remove_extra_spaces(self.text)
+
+
+@dataclasses.dataclass
+class _Assets:
+    params: Params
+    dims: ModelDims
+    vocab: Vocab
+    mel_filters: np.ndarray
+
+
+class Engine:
+    """Abstract engine (whisper.h:159-163): transcribe float samples or a
+    wave file. Batched entry points are the TPU-native extension."""
+
+    def __init__(self, assets: _Assets, config: EngineConfig):
+        self.assets = assets
+        self.config = config
+        self.dims = assets.dims
+        self.vocab = assets.vocab
+        prompt = build_prompt(
+            multilingual=config.multilingual,
+            language=config.language,
+            task=config.task,
+            timestamps=config.timestamps,
+            specials=assets.vocab.specials,
+        )
+        self._prompt = np.asarray(prompt, dtype=np.int32)
+        budget = self.dims.n_text_ctx - len(prompt)
+        self._max_new = (
+            min(config.max_new_tokens, budget)
+            if config.max_new_tokens is not None
+            else budget
+        )
+        self._compute_dtype = jnp.dtype(config.dtype)
+        self._filters = jnp.asarray(assets.mel_filters)
+
+    # --- public API (reference parity surface) -----------------------------
+    def transcribe(
+        self, audio: Union[str, np.ndarray], omit_special_tokens: bool = True
+    ) -> TranscriptionResult:
+        if isinstance(audio, str):
+            samples = self._read_audio(audio)
+        else:
+            samples = np.asarray(audio, dtype=np.float32)
+        return self.transcribe_batch(samples[None, :], omit_special_tokens)[0]
+
+    def transcribe_batch(
+        self,
+        samples: np.ndarray,  # [B, n] float32, any n (padded/truncated to 30 s)
+        omit_special_tokens: bool = True,
+    ) -> List[TranscriptionResult]:
+        batch = np.zeros((samples.shape[0], N_SAMPLES), dtype=np.float32)
+        n = min(samples.shape[1], N_SAMPLES)
+        batch[:, :n] = samples[:, :n]  # resize-to-480000 (whisper.cpp:687,698)
+        tokens, lengths, mel_ms, model_ms = self._run(batch)
+        results = []
+        for i in range(tokens.shape[0]):
+            row = np.asarray(tokens[i][: int(lengths[i])])
+            text = decode_tokens(self.vocab, row, omit_special_tokens)
+            results.append(
+                TranscriptionResult(
+                    text=text,
+                    tokens=np.asarray(tokens[i]),
+                    length=int(lengths[i]),
+                    mel_ms=mel_ms,
+                    model_ms=model_ms,
+                )
+            )
+        return results
+
+    def _read_audio(self, path: str) -> np.ndarray:
+        if path.endswith(".pcm") or path.endswith(".raw"):
+            # minimal.cpp feeds raw PCM through wav_read_legacy's float path
+            from whisper_tpu.audio.wav import read_pcm_f32
+
+            return read_pcm_f32(path)
+        try:
+            return read_wav(path)
+        except ValueError:
+            return read_wav_legacy(path)
+
+    def _run(self, batch: np.ndarray):
+        raise NotImplementedError
+
+    # --- constructors ------------------------------------------------------
+    @classmethod
+    def _make(cls, assets: _Assets, config: EngineConfig) -> "Engine":
+        return cls(assets, config)
+
+    @classmethod
+    def from_random(
+        cls, config: EngineConfig, seed: int = 0, vocab: Optional[Vocab] = None
+    ) -> "Engine":
+        """Random-weights engine for tests and benchmarks (perf is
+        weight-value independent)."""
+        dims = config.dims()
+        params = init_params(
+            dims, jax.random.PRNGKey(seed), dtype=jnp.dtype(config.dtype)
+        )
+        vocab = vocab or Vocab.synthetic(multilingual=config.multilingual)
+        filters = mel_filterbank(n_mels=dims.n_mels)
+        return cls(_Assets(params, dims, vocab, filters), config)
+
+    @classmethod
+    def from_assets(
+        cls,
+        params: Params,
+        config: EngineConfig,
+        vocab_bin: Optional[str] = None,
+        vocab: Optional[Vocab] = None,
+    ) -> "Engine":
+        dims = config.dims()
+        if vocab_bin is not None:
+            assets_bin = read_bin(vocab_bin, multilingual=config.multilingual)
+            vocab = assets_bin.vocab
+            filters = assets_bin.mel_filters
+        else:
+            vocab = vocab or Vocab.synthetic(multilingual=config.multilingual)
+            filters = mel_filterbank(n_mels=dims.n_mels)
+        return cls(_Assets(params, dims, vocab, filters), config)
+
+
+class Monolith(Engine):
+    """Whole pipeline in one compiled program (reference whisper.cpp:667-738:
+    pad → mel → single Invoke of a generate-embedding graph → int IDs)."""
+
+    def __init__(self, assets: _Assets, config: EngineConfig):
+        super().__init__(assets, config)
+        dims, prompt, max_new = self.dims, self._prompt, self._max_new
+        eot = self.vocab.specials.eot
+        cdt = self._compute_dtype
+
+        @jax.jit
+        def pipeline(params, samples, filters):
+            mel = log_mel_spectrogram(
+                samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
+            )
+            enc_out = encode(params, mel.astype(cdt), dims)
+            b = samples.shape[0]
+            prompts = jnp.broadcast_to(jnp.asarray(prompt), (b, len(prompt)))
+            return greedy_decode(
+                params, enc_out, prompts, dims, eot=eot,
+                max_new_tokens=max_new, compute_dtype=cdt,
+            )
+
+        self._pipeline = pipeline
+
+    def _run(self, batch: np.ndarray):
+        t0 = time.perf_counter()
+        tokens, lengths = self._pipeline(
+            self.assets.params, jnp.asarray(batch), self._filters
+        )
+        tokens = np.asarray(jax.block_until_ready(tokens))
+        dt = (time.perf_counter() - t0) * 1e3
+        return tokens, np.asarray(lengths), 0.0, dt
+
+
+class EncDec(Engine):
+    """Separate encode and decode programs (reference whisper.cpp:740-776)."""
+
+    def __init__(self, assets: _Assets, config: EngineConfig):
+        super().__init__(assets, config)
+        dims, prompt, max_new = self.dims, self._prompt, self._max_new
+        eot = self.vocab.specials.eot
+        cdt = self._compute_dtype
+
+        @jax.jit
+        def frontend_encode(params, samples, filters):
+            mel = log_mel_spectrogram(
+                samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
+            )
+            return encode(params, mel.astype(cdt), dims)
+
+        @jax.jit
+        def decode_fn(params, enc_out):
+            b = enc_out.shape[0]
+            prompts = jnp.broadcast_to(jnp.asarray(prompt), (b, len(prompt)))
+            return greedy_decode(
+                params, enc_out, prompts, dims, eot=eot,
+                max_new_tokens=max_new, compute_dtype=cdt,
+            )
+
+        self._encode = frontend_encode
+        self._decode = decode_fn
+
+    def _run(self, batch: np.ndarray):
+        t0 = time.perf_counter()
+        enc_out = jax.block_until_ready(
+            self._encode(self.assets.params, jnp.asarray(batch), self._filters)
+        )
+        t1 = time.perf_counter()
+        tokens, lengths = self._decode(self.assets.params, enc_out)
+        tokens = np.asarray(jax.block_until_ready(tokens))
+        t2 = time.perf_counter()
+        return tokens, np.asarray(lengths), (t1 - t0) * 1e3, (t2 - t1) * 1e3
+
+
+def create_engine(
+    engine_type: Union[EngineType, int],
+    config: EngineConfig,
+    params: Optional[Params] = None,
+    vocab_bin: Optional[str] = None,
+    seed: int = 0,
+) -> Engine:
+    """Factory (reference create_engine, whisper.cpp:778-790)."""
+    cls = Monolith if EngineType(engine_type) == EngineType.MONOLITH else EncDec
+    if params is None:
+        return cls.from_random(config, seed=seed)
+    return cls.from_assets(params, config, vocab_bin=vocab_bin)

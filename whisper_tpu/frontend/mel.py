@@ -46,11 +46,13 @@ def pad_or_trim(samples: jnp.ndarray, length: int = N_SAMPLES) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=8)
-def _dft_window_matrices(n_fft: int, dtype_name: str):
+def _dft_window_matrices(n_fft: int):
     """Windowed real-DFT basis: W_cos, W_sin of shape [n_fft, n_bins].
 
     The periodic Hann window is folded into the basis so framing output feeds
-    straight into one matmul per component.
+    straight into one matmul per component. Cached as host numpy (NOT jnp:
+    device arrays captured under a jit trace would leak tracers); jnp.asarray
+    at the call site embeds them as compile-time constants.
     """
     n_bins = n_fft // 2 + 1
     i = np.arange(n_fft, dtype=np.float64)
@@ -59,8 +61,7 @@ def _dft_window_matrices(n_fft: int, dtype_name: str):
     ang = 2.0 * np.pi * np.outer(i, k) / n_fft  # [n_fft, n_bins]
     w_cos = np.cos(ang) * window[:, None]
     w_sin = -np.sin(ang) * window[:, None]
-    dt = jnp.dtype(dtype_name)
-    return jnp.asarray(w_cos, dtype=dt), jnp.asarray(w_sin, dtype=dt)
+    return w_cos, w_sin
 
 
 def _frame(signal: jnp.ndarray, n_fft: int, hop: int, n_frames: int) -> jnp.ndarray:
@@ -111,7 +112,9 @@ def log_mel_spectrogram(
     x = samples.astype(compute_dtype)
 
     frames = _frame(x, n_fft, hop, n_frames)  # [..., F, n_fft]
-    w_cos, w_sin = _dft_window_matrices(n_fft, jnp.dtype(compute_dtype).name)
+    w_cos_np, w_sin_np = _dft_window_matrices(n_fft)
+    w_cos = jnp.asarray(w_cos_np, dtype=compute_dtype)
+    w_sin = jnp.asarray(w_sin_np, dtype=compute_dtype)
 
     re = frames @ w_cos  # [..., F, n_bins]
     im = frames @ w_sin
