@@ -1,0 +1,92 @@
+"""Parallelism tests on the virtual 8-device CPU mesh: sharded execution must
+be bit-compatible in tokens with single-device execution (the multi-node test
+capability the reference has no analogue for — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from whisper_tpu.config import ModelDims
+from whisper_tpu.decode.greedy import greedy_decode
+from whisper_tpu.models.encoder import encode
+from whisper_tpu.models.params import init_params
+from whisper_tpu.parallel import make_mesh, param_pspecs, shard_params
+
+DIMS = ModelDims(
+    n_mels=80,
+    n_audio_ctx=30,
+    n_audio_state=64,
+    n_audio_head=2,
+    n_audio_layer=2,
+    n_vocab=512,
+    n_text_ctx=32,
+    n_text_state=64,
+    n_text_head=2,
+    n_text_layer=2,
+)
+EOT = 511
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(DIMS, jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def mel():
+    return jax.random.normal(jax.random.PRNGKey(1), (8, DIMS.n_mels, 60))
+
+
+def _decode_tokens(params, mel, prompt):
+    enc_out = encode(params, mel, DIMS)
+    return greedy_decode(params, enc_out, prompt, DIMS, eot=EOT, max_new_tokens=6)
+
+
+class TestMesh:
+    def test_shapes(self):
+        mesh = make_mesh((4, 2))
+        assert mesh.shape == {"data": 4, "model": 2}
+
+    def test_too_many_devices_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh((16, 2))
+
+
+class TestShardingParity:
+    @pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 2)])
+    def test_sharded_matches_unsharded(self, params, mel, shape):
+        prompt = jnp.tile(jnp.array([[1, 2]], jnp.int32), (8, 1))
+        want_tokens, want_lengths = jax.jit(_decode_tokens)(params, mel, prompt)
+
+        mesh = make_mesh(shape, devices=jax.devices()[: shape[0] * shape[1]])
+        sp = shard_params(params, mesh, DIMS)
+        mel_s = jax.device_put(mel, NamedSharding(mesh, P("data", None, None)))
+        prompt_s = jax.device_put(prompt, NamedSharding(mesh, P("data", None)))
+        got_tokens, got_lengths = jax.jit(_decode_tokens)(sp, mel_s, prompt_s)
+
+        np.testing.assert_array_equal(np.asarray(got_tokens), np.asarray(want_tokens))
+        np.testing.assert_array_equal(
+            np.asarray(got_lengths), np.asarray(want_lengths)
+        )
+
+    def test_param_placement(self, params):
+        mesh = make_mesh((4, 2))
+        sp = shard_params(params, mesh, DIMS)
+        # Column-parallel QKV: last dim sharded over 'model'.
+        w = sp["encoder"]["blocks"]["attn"]["q"]["w"]
+        assert w.sharding.spec == P(None, None, "model")
+
+    def test_bad_model_degree_raises(self, params):
+        mesh = make_mesh((1, 8))  # heads=2 not divisible by 8
+        with pytest.raises(ValueError, match="divide heads"):
+            shard_params(params, mesh, DIMS)
+
+
+class TestDryrun:
+    @pytest.mark.parametrize("n", [1, 2, 8])
+    def test_dryrun(self, n):
+        from whisper_tpu.parallel.dryrun import dryrun_multichip
+
+        dryrun_multichip(n)

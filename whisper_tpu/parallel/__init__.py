@@ -1,0 +1,16 @@
+from whisper_tpu.parallel.mesh import make_mesh, local_mesh_shape
+from whisper_tpu.parallel.sharding import (
+    param_pspecs,
+    shard_params,
+    input_pspec,
+    enc_out_pspec,
+)
+
+__all__ = [
+    "make_mesh",
+    "local_mesh_shape",
+    "param_pspecs",
+    "shard_params",
+    "input_pspec",
+    "enc_out_pspec",
+]
