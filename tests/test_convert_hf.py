@@ -1,0 +1,132 @@
+"""Checkpoint-converter parity vs the HuggingFace torch implementation.
+
+The strongest architecture validation available offline: a randomly
+initialized HF ``WhisperForConditionalGeneration`` (true Whisper compute
+graph, torch CPU) is converted with models/convert.py and must produce the
+same encoder states and decoder logits as our JAX model — validating layer
+geometry, weight transposes, attention scaling, GELU flavor, and layernorm
+placement in one shot. This replaces the reference's export-time cross-checks
+(generate.py:113-123, generate_onnx.py:226-281) with an exact numeric test.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.models.convert import dims_from_hf_config, from_hf_state_dict
+from whisper_tpu.models.decoder import (
+    decoder_prefill,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from whisper_tpu.models.encoder import encode
+from whisper_tpu.models.params import sinusoid_position_embedding
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    cfg = transformers.WhisperConfig(
+        vocab_size=1000,
+        num_mel_bins=80,
+        d_model=64,
+        encoder_layers=2,
+        encoder_attention_heads=2,
+        decoder_layers=2,
+        decoder_attention_heads=2,
+        encoder_ffn_dim=256,
+        decoder_ffn_dim=256,
+        max_source_positions=30,
+        max_target_positions=32,
+        pad_token_id=998,
+        bos_token_id=997,
+        eos_token_id=999,
+        decoder_start_token_id=996,
+        suppress_tokens=None,
+        begin_suppress_tokens=None,
+    )
+    torch.manual_seed(0)
+    model = transformers.WhisperForConditionalGeneration(cfg)
+    model.eval()
+    return model
+
+
+@pytest.fixture(scope="module")
+def converted(hf_model):
+    dims = dims_from_hf_config(hf_model.config)
+    params = from_hf_state_dict(hf_model.state_dict(), dims)
+    return params, dims
+
+
+@pytest.fixture(scope="module")
+def features():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((2, 80, 60)).astype(np.float32)
+
+
+class TestEncoderParity:
+    def test_sinusoid_matches_hf_table(self, hf_model, converted):
+        # HF's encoder positions are the same fixed sinusoid table we compute.
+        _, dims = converted
+        hf_pos = hf_model.model.encoder.embed_positions.weight.detach().numpy()
+        ours = sinusoid_position_embedding(dims.n_audio_ctx, dims.n_audio_state)
+        np.testing.assert_allclose(ours, hf_pos, atol=1e-5)
+
+    def test_encoder_states(self, hf_model, converted, features):
+        params, dims = converted
+        with torch.no_grad():
+            want = (
+                hf_model.model.encoder(torch.from_numpy(features))
+                .last_hidden_state.numpy()
+            )
+        got = np.asarray(encode(params, jnp.asarray(features), dims))
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-4)
+
+
+class TestDecoderParity:
+    def test_full_forward_logits(self, hf_model, converted, features):
+        params, dims = converted
+        ids = np.array([[1, 5, 9, 400], [2, 7, 11, 999]], dtype=np.int64)
+        with torch.no_grad():
+            want = hf_model(
+                input_features=torch.from_numpy(features),
+                decoder_input_ids=torch.from_numpy(ids),
+            ).logits.numpy()
+
+        enc_out = encode(params, jnp.asarray(features), dims)
+        cross_kv = precompute_cross_kv(params, enc_out, dims)
+        cache = init_kv_cache(dims, 2, ids.shape[1])
+        got, _ = decoder_prefill(
+            params, jnp.asarray(ids, jnp.int32), cache, cross_kv, dims
+        )
+        np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
+
+    def test_stepwise_argmax_matches_hf(self, hf_model, converted, features):
+        # Incremental decode (our KV cache) vs HF full forward at each prefix.
+        params, dims = converted
+        from whisper_tpu.decode.greedy import greedy_decode
+
+        prompt = np.array([[1, 2], [3, 4]], dtype=np.int64)
+        enc_out = encode(params, jnp.asarray(features), dims)
+        ours, _ = greedy_decode(
+            params, enc_out, jnp.asarray(prompt, jnp.int32), dims,
+            eot=999, max_new_tokens=5,
+        )
+        ours = np.asarray(ours)
+
+        seq = prompt.copy()
+        with torch.no_grad():
+            for step in range(5):
+                logits = hf_model(
+                    input_features=torch.from_numpy(features),
+                    decoder_input_ids=torch.from_numpy(seq),
+                ).logits.numpy()[:, -1, :]
+                # reference-style last-index tie-break (ties are measure-zero
+                # with random weights, plain argmax suffices here)
+                nxt = logits.argmax(axis=-1)
+                seq = np.concatenate([seq, nxt[:, None]], axis=1)
+        np.testing.assert_array_equal(ours[:, : seq.shape[1]], seq)
