@@ -82,3 +82,15 @@ class TestEngineParity:
         a = monolith.transcribe(x31)
         b = monolith.transcribe(x31[: 16_000 * 30])
         np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+class TestBeamEngine:
+    def test_beam_engine_runs_and_batches(self, cfg):
+        import dataclasses
+
+        bcfg = dataclasses.replace(cfg, beam_size=3)
+        eng = Monolith.from_random(bcfg, seed=0)
+        xs = np.stack([_noise(seed=s) for s in range(2)])
+        batch = eng.transcribe_batch(xs)
+        solo = eng.transcribe(xs[0])
+        np.testing.assert_array_equal(batch[0].tokens, solo.tokens)

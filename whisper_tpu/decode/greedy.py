@@ -26,6 +26,7 @@ from whisper_tpu.models.decoder import (
     precompute_cross_kv,
 )
 from whisper_tpu.models.params import Params
+from whisper_tpu.decode.logits import LogitRules
 
 
 def argmax_last(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -54,6 +55,7 @@ def greedy_decode(
     eot: int,
     max_new_tokens: int,
     logit_bias: Optional[jnp.ndarray] = None,  # additive [n_vocab] mask
+    rules: Optional[LogitRules] = None,  # suppress/timestamp rules
     compute_dtype=jnp.float32,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, P + max_new_tokens], lengths [B]).
@@ -71,20 +73,22 @@ def greedy_decode(
 
     cross_kv = precompute_cross_kv(params, enc_out, dims)
     cache = init_kv_cache(dims, b, total_len, dtype=compute_dtype)
+    sample_begin = jnp.int32(p_len)
 
-    def pick(logits: jnp.ndarray) -> jnp.ndarray:
+    def pick(logits: jnp.ndarray, tokens: jnp.ndarray, pos) -> jnp.ndarray:
         if logit_bias is not None:
             logits = logits + logit_bias
+        if rules is not None:
+            logits = rules.apply(logits, tokens, pos, sample_begin)
         return argmax_last(logits).astype(jnp.int32)
 
     # --- prefill: static prompt, one pass ---
     logits, cache = decoder_prefill(
         params, prompt, cache, cross_kv, dims, compute_dtype
     )
-    first = pick(logits[:, -1, :])  # [B]
-
     tokens = jnp.full((b, total_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :p_len].set(prompt)
+    first = pick(logits[:, -1, :], tokens, sample_begin)  # [B]
     tokens = tokens.at[:, p_len].set(first)
     finished = first == eot
 
@@ -98,7 +102,7 @@ def greedy_decode(
         logits, cache = decoder_step(
             params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype
         )
-        nxt = pick(logits)
+        nxt = pick(logits, s.tokens, s.pos)
         nxt = jnp.where(s.finished, eot, nxt)
         tokens = jax.lax.dynamic_update_index_in_dim(s.tokens, nxt, s.pos, axis=1)
         return GreedyState(s.pos + 1, tokens, cache, s.finished | (nxt == eot))

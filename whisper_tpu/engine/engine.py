@@ -36,7 +36,9 @@ from whisper_tpu.config import (
     ModelDims,
     N_SAMPLES,
 )
+from whisper_tpu.decode.beam import beam_decode
 from whisper_tpu.decode.greedy import greedy_decode
+from whisper_tpu.decode.logits import make_rules
 from whisper_tpu.decode.prompt import build_prompt
 from whisper_tpu.frontend.filters import mel_filterbank
 from whisper_tpu.frontend.mel import log_mel_spectrogram, pad_or_trim
@@ -99,6 +101,32 @@ class Engine:
         )
         self._compute_dtype = jnp.dtype(config.dtype)
         self._filters = jnp.asarray(assets.mel_filters)
+        if config.suppress_blank or config.suppress_nonspeech or config.timestamps:
+            self._rules = make_rules(
+                assets.vocab,
+                timestamps=config.timestamps,
+                suppress_blank=config.suppress_blank,
+                suppress_nonspeech=config.suppress_nonspeech,
+                n_vocab=self.dims.n_vocab,
+            )
+        else:
+            self._rules = None  # raw reference behavior (whisper.cpp:382-383)
+
+    def _decode(self, params, enc_out, prompts):
+        """Greedy or beam decode per config; returns (tokens, lengths)."""
+        common = dict(
+            dims=self.dims,
+            eot=self.vocab.specials.eot,
+            max_new_tokens=self._max_new,
+            rules=self._rules,
+            compute_dtype=self._compute_dtype,
+        )
+        if self.config.beam_size > 1:
+            tokens, lengths, _scores = beam_decode(
+                params, enc_out, prompts, beam_size=self.config.beam_size, **common
+            )
+            return tokens, lengths
+        return greedy_decode(params, enc_out, prompts, **common)
 
     # --- public API (reference parity surface) -----------------------------
     def transcribe(
@@ -192,8 +220,7 @@ class Monolith(Engine):
 
     def __init__(self, assets: _Assets, config: EngineConfig):
         super().__init__(assets, config)
-        dims, prompt, max_new = self.dims, self._prompt, self._max_new
-        eot = self.vocab.specials.eot
+        dims, prompt = self.dims, self._prompt
         cdt = self._compute_dtype
 
         @jax.jit
@@ -204,10 +231,7 @@ class Monolith(Engine):
             enc_out = encode(params, mel.astype(cdt), dims)
             b = samples.shape[0]
             prompts = jnp.broadcast_to(jnp.asarray(prompt), (b, len(prompt)))
-            return greedy_decode(
-                params, enc_out, prompts, dims, eot=eot,
-                max_new_tokens=max_new, compute_dtype=cdt,
-            )
+            return self._decode(params, enc_out, prompts)
 
         self._pipeline = pipeline
 
@@ -226,8 +250,7 @@ class EncDec(Engine):
 
     def __init__(self, assets: _Assets, config: EngineConfig):
         super().__init__(assets, config)
-        dims, prompt, max_new = self.dims, self._prompt, self._max_new
-        eot = self.vocab.specials.eot
+        dims, prompt = self.dims, self._prompt
         cdt = self._compute_dtype
 
         @jax.jit
@@ -241,13 +264,10 @@ class EncDec(Engine):
         def decode_fn(params, enc_out):
             b = enc_out.shape[0]
             prompts = jnp.broadcast_to(jnp.asarray(prompt), (b, len(prompt)))
-            return greedy_decode(
-                params, enc_out, prompts, dims, eot=eot,
-                max_new_tokens=max_new, compute_dtype=cdt,
-            )
+            return self._decode(params, enc_out, prompts)
 
         self._encode = frontend_encode
-        self._decode = decode_fn
+        self._decode_jit = decode_fn
 
     def _run(self, batch: np.ndarray):
         t0 = time.perf_counter()
@@ -255,7 +275,7 @@ class EncDec(Engine):
             self._encode(self.assets.params, jnp.asarray(batch), self._filters)
         )
         t1 = time.perf_counter()
-        tokens, lengths = self._decode(self.assets.params, enc_out)
+        tokens, lengths = self._decode_jit(self.assets.params, enc_out)
         tokens = np.asarray(jax.block_until_ready(tokens))
         t2 = time.perf_counter()
         return tokens, np.asarray(lengths), (t1 - t0) * 1e3, (t2 - t1) * 1e3
