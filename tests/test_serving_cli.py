@@ -1,0 +1,160 @@
+"""Serving-layer and CLI tests (reference Whisper.java async orchestration +
+app/ CLIs)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from whisper_tpu.config import EngineConfig
+from whisper_tpu.engine import Monolith
+from whisper_tpu.engine.serving import (
+    MSG_DONE,
+    MSG_PROCESSING,
+    AsyncTranscriber,
+    StreamingSession,
+)
+
+
+def _noise(seconds=0.5, seed=0):
+    rng = np.random.default_rng(seed)
+    return (0.1 * rng.standard_normal(int(16_000 * seconds))).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return Monolith.from_random(
+        EngineConfig(model="dev.en", max_new_tokens=4, dtype="float32"), seed=0
+    )
+
+
+class TestAsyncTranscriber:
+    def test_single_request(self, engine):
+        with AsyncTranscriber(engine, max_batch=4) as t:
+            res = t.transcribe(_noise())
+            assert res.length >= 2
+
+    def test_concurrent_requests_batched_consistently(self, engine):
+        xs = [_noise(seed=s) for s in range(6)]
+        with AsyncTranscriber(engine, max_batch=4, max_wait_ms=50) as t:
+            futures = [t.submit(x) for x in xs]
+            results = [f.result(timeout=120) for f in futures]
+        # Batched-through-queue results must equal direct single calls.
+        for x, res in zip(xs, results):
+            direct = engine.transcribe(x)
+            np.testing.assert_array_equal(res.tokens, direct.tokens)
+
+    def test_status_callbacks(self, engine):
+        seen = []
+        with AsyncTranscriber(engine, on_status=seen.append) as t:
+            t.transcribe(_noise())
+        assert MSG_PROCESSING in seen and MSG_DONE in seen
+
+    def test_submit_after_close_raises(self, engine):
+        t = AsyncTranscriber(engine)
+        t.close()
+        with pytest.raises(RuntimeError):
+            t.submit(_noise())
+
+    def test_error_isolation(self, engine):
+        # A poison request fails its own future; the loop keeps serving.
+        with AsyncTranscriber(engine, max_batch=1) as t:
+            bad = t.submit(np.zeros((0,), np.float32))  # zero-length is fine…
+            good = t.submit(_noise())
+            assert good.result(timeout=120).length >= 2
+            assert bad.result(timeout=120) is not None  # zero-pad works too
+
+
+class TestStreamingSession:
+    def test_mic_pipeline(self, engine):
+        results = []
+        with AsyncTranscriber(engine, max_batch=2) as t:
+            sess = StreamingSession(
+                t, on_result=results.append, use_vad=False
+            )
+            # Feed 35 s in 5 s blocks: must trigger a 30 s flush mid-stream.
+            for s in range(7):
+                sess.write_buffer(_noise(seconds=5.0, seed=s))
+            sess.stop()
+        assert len(results) == 2  # one 30 s flush + one final flush
+        assert all(r.length >= 2 for r in results)
+
+    def test_vad_flush(self, engine):
+        results = []
+        with AsyncTranscriber(engine, max_batch=2) as t:
+            sess = StreamingSession(
+                t, on_result=results.append, use_vad=True,
+                min_chunk_samples=8_000,
+            )
+            sess.write_buffer(_noise(seconds=1.0))  # speech-ish noise
+            sess.write_buffer(np.zeros(4_096, np.float32))  # trailing silence
+            sess.stop()
+        assert len(results) >= 1
+
+
+class TestCli:
+    def test_vad_command(self, tmp_path, capsys):
+        from whisper_tpu.cli import main
+
+        p = str(tmp_path / "x.raw")
+        x = np.concatenate(
+            [0.5 * np.ones(1024, np.float32), np.zeros(1024, np.float32)]
+        )
+        x.astype("<f4").tofile(p)
+        assert main(["vad", "--input", p]) == 0
+        out = capsys.readouterr().out
+        assert "Frame 0: Speech" in out and "Silence" in out
+
+    def test_silence_removal_command(self, tmp_path):
+        from whisper_tpu.cli import main
+
+        src = str(tmp_path / "in.raw")
+        dst = str(tmp_path / "out.raw")
+        x = np.concatenate(
+            [0.5 * np.ones(2048, np.float32), np.zeros(2048, np.float32)]
+        )
+        x.astype("<f4").tofile(src)
+        assert main(["silence-removal", "--input", src, "--output", dst]) == 0
+        kept = np.fromfile(dst, dtype="<f4")
+        assert 0 < len(kept) < len(x)
+
+    def test_wav_to_pcm_command(self, tmp_path):
+        from whisper_tpu.audio.wav import write_wav
+        from whisper_tpu.cli import main
+
+        w = str(tmp_path / "a.wav")
+        p = str(tmp_path / "a.pcm")
+        write_wav(w, _noise())
+        assert main(["wav-to-pcm", w, p]) == 0
+        assert (tmp_path / "a.pcm").stat().st_size > 0
+
+    def test_pack_assets_command(self, tmp_path):
+        from whisper_tpu.cli import main
+        from whisper_tpu.tokenizer.binfmt import read_bin
+
+        out = str(tmp_path / "assets.bin")
+        assert main(["pack-assets", "--output", out]) == 0
+        assets = read_bin(out, multilingual=False)
+        assert assets.mel_filters.shape == (80, 201)
+
+
+class TestCheckpointRoundtrip:
+    def test_npz_roundtrip(self, tmp_path):
+        import jax
+
+        from whisper_tpu.config import MODEL_DIMS
+        from whisper_tpu.models.params import init_params
+        from whisper_tpu.utils.checkpoint import load_params, save_params
+
+        dims = MODEL_DIMS["dev.en"]
+        params = init_params(dims, jax.random.PRNGKey(0))
+        path = str(tmp_path / "ckpt.npz")
+        save_params(path, params, dims)
+        loaded, ldims = load_params(path)
+        assert ldims == dims
+        flat_a = jax.tree.leaves(params)
+        flat_b = jax.tree.leaves(loaded)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,183 @@
+"""Command-line surface.
+
+Covers the reference's four CLI apps with one entry point
+(``whisper-tpu <subcommand>``):
+
+* ``transcribe`` — app/minimal.cpp (positional, monolith, cleaned text) and
+  app/encdec.cpp (--model-prefix/--vocab/--input flags, raw text) unified;
+* ``vad`` — app/vad.cpp per-frame Speech/Silence classifier;
+* ``silence-removal`` — app/silent_detection.cpp dB-gated stripper;
+* ``wav-to-pcm`` — app/wav_to_pcm.cpp header stripper;
+* ``pack-assets`` — app/writeout.cpp .bin packager (from a filterbank we
+  compute + a vocab source);
+* ``convert`` — checkpoint conversion (replaces export/generate*.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _cmd_transcribe(args) -> int:
+    from whisper_tpu.config import EngineConfig
+    from whisper_tpu.engine import EngineType, create_engine
+
+    config = EngineConfig(
+        model=args.model,
+        language=args.language,
+        task=args.task,
+        beam_size=args.beam_size,
+        max_new_tokens=args.max_new_tokens,
+        timestamps=args.timestamps,
+        dtype=args.dtype,
+    )
+    engine_type = (
+        EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
+    )
+    params = None
+    if args.checkpoint:
+        from whisper_tpu.models.convert import load_checkpoint
+
+        params, dims = load_checkpoint(args.checkpoint)
+    engine = create_engine(
+        engine_type, config, params=params, vocab_bin=args.vocab
+    )
+    for path in args.inputs:
+        result = engine.transcribe(path)
+        text = result.clean_text() if args.clean else result.text
+        print(text)
+        if args.verbose:
+            print(
+                f"  [mel {result.mel_ms:.1f} ms, model {result.model_ms:.1f} ms, "
+                f"{result.length} tokens]",
+                file=sys.stderr,
+            )
+    return 0
+
+
+def _cmd_vad(args) -> int:
+    from whisper_tpu.audio import energy_vad, read_pcm_f32
+
+    samples = read_pcm_f32(args.input)
+    mask = energy_vad(samples, threshold=args.threshold, frame_size=args.frame_size)
+    for i, speech in enumerate(mask):  # output shape of app/vad.cpp:43
+        print(f"Frame {i}: {'Speech' if speech else 'Silence'}")
+    return 0
+
+
+def _cmd_silence_removal(args) -> int:
+    from whisper_tpu.audio import read_pcm_f32, remove_silence
+
+    samples = read_pcm_f32(args.input)
+    kept = remove_silence(
+        samples, threshold_db=args.threshold_db, frame_size=args.frame_size
+    )
+    kept.astype("<f4").tofile(args.output)
+    print(f"kept {len(kept)}/{len(samples)} samples")
+    return 0
+
+
+def _cmd_wav_to_pcm(args) -> int:
+    from whisper_tpu.audio.wav import wav_to_pcm
+
+    wav_to_pcm(args.input, args.output)
+    return 0
+
+
+def _cmd_pack_assets(args) -> int:
+    from whisper_tpu.frontend.filters import mel_filterbank
+    from whisper_tpu.tokenizer.binfmt import write_bin
+    from whisper_tpu.tokenizer.vocab import Vocab
+
+    if args.tokenizer:
+        from transformers import WhisperTokenizer
+
+        tok = WhisperTokenizer.from_pretrained(args.tokenizer)
+        vocab = Vocab.from_hf_tokenizer(tok, multilingual=args.multilingual)
+    else:
+        vocab = Vocab.synthetic(multilingual=args.multilingual)
+    filters = mel_filterbank(n_mels=args.n_mels)
+    write_bin(
+        args.output,
+        filters,
+        {i: vocab.surface(i) for i in range(max(vocab.id_to_token) + 1)},
+        size_prefix=not args.no_size_prefix,
+    )
+    print(f"wrote {args.output}")
+    return 0
+
+
+def _cmd_convert(args) -> int:
+    from whisper_tpu.models.convert import load_checkpoint
+    from whisper_tpu.utils.checkpoint import save_params
+
+    params, dims = load_checkpoint(args.checkpoint)
+    save_params(args.output, params, dims)
+    print(f"converted {args.checkpoint} -> {args.output}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="whisper-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    t = sub.add_parser("transcribe", help="transcribe audio files")
+    t.add_argument("inputs", nargs="+", help="wav/pcm files")
+    t.add_argument("--model", default="tiny")
+    t.add_argument("--checkpoint", default=None, help=".pt or HF dir")
+    t.add_argument("--vocab", default=None, help="reference-format vocab .bin")
+    t.add_argument("--engine", choices=["monolith", "encdec"], default="monolith")
+    t.add_argument("--language", default=None)
+    t.add_argument("--task", choices=["transcribe", "translate"], default="transcribe")
+    t.add_argument("--beam-size", type=int, default=1)
+    t.add_argument("--max-new-tokens", type=int, default=None)
+    t.add_argument("--timestamps", action="store_true")
+    t.add_argument("--dtype", default="bfloat16")
+    t.add_argument("--clean", action="store_true", help="collapse extra spaces")
+    t.add_argument("--verbose", action="store_true")
+    t.set_defaults(fn=_cmd_transcribe)
+
+    v = sub.add_parser("vad", help="per-frame energy VAD (app/vad.cpp)")
+    v.add_argument("--input", required=True, help="raw float32 PCM")
+    v.add_argument("--threshold", type=float, default=0.01)
+    v.add_argument("--frame-size", type=int, default=512)
+    v.set_defaults(fn=_cmd_vad)
+
+    s = sub.add_parser("silence-removal", help="drop sub-threshold frames")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--threshold-db", type=float, default=-35.0)
+    s.add_argument("--frame-size", type=int, default=512)
+    s.set_defaults(fn=_cmd_silence_removal)
+
+    w = sub.add_parser("wav-to-pcm", help="strip WAV container")
+    w.add_argument("input")
+    w.add_argument("output")
+    w.set_defaults(fn=_cmd_wav_to_pcm)
+
+    a = sub.add_parser("pack-assets", help="write reference-format .bin")
+    a.add_argument("--output", required=True)
+    a.add_argument("--tokenizer", default=None, help="HF tokenizer dir/repo")
+    a.add_argument("--multilingual", action="store_true")
+    a.add_argument("--n-mels", type=int, default=80)
+    a.add_argument("--no-size-prefix", action="store_true")
+    a.set_defaults(fn=_cmd_pack_assets)
+
+    c = sub.add_parser("convert", help="convert checkpoint to npz pytree")
+    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--output", required=True)
+    c.set_defaults(fn=_cmd_convert)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
