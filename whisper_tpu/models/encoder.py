@@ -17,8 +17,13 @@ from whisper_tpu.models import layers
 from whisper_tpu.models.params import Params, sinusoid_position_embedding
 
 
-def encode(params: Params, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndarray:
-    """[B, n_mels, n_frames] → [B, n_frames // 2, n_audio_state]."""
+def encode(
+    params: Params, mel: jnp.ndarray, dims: ModelDims, fused_attention: bool = True
+) -> jnp.ndarray:
+    """[B, n_mels, n_frames] → [B, n_frames // 2, n_audio_state].
+
+    ``fused_attention`` enables the Pallas flash-attention path on TPU
+    (auto-falls back to einsum off-TPU or for unsupported shapes)."""
     enc = params["encoder"]
     x = jnp.swapaxes(mel, -1, -2)  # [B, T, n_mels] — feature-last for conv
     x = layers.gelu(layers.conv1d(enc["conv1"], x, stride=1))
@@ -31,7 +36,10 @@ def encode(params: Params, mel: jnp.ndarray, dims: ModelDims) -> jnp.ndarray:
 
     def block(carry, bp):
         h = carry
-        h = h + layers.mha_self(bp["attn"], layers.layer_norm(bp["ln1"], h), n_head)
+        h = h + layers.mha_self(
+            bp["attn"], layers.layer_norm(bp["ln1"], h), n_head,
+            fused=fused_attention,
+        )
         h = h + layers.mlp(bp["mlp"], layers.layer_norm(bp["ln2"], h))
         return h, None
 

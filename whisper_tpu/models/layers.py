@@ -98,12 +98,20 @@ def qkv_attention(
     return out.astype(v.dtype)
 
 
-def mha_self(p, x, n_head: int, mask=None):
-    """Full (non-cached) multi-head self-attention block body."""
+def mha_self(p, x, n_head: int, mask=None, fused: bool = False):
+    """Full (non-cached) multi-head self-attention block body.
+
+    ``fused=True`` routes unmasked attention through the Pallas flash kernel
+    (ops/attention.py) on TPU; other configurations use the einsum path."""
     q = split_heads(linear(p["q"], x), n_head)
     k = split_heads(linear(p["k"], x), n_head)
     v = split_heads(linear(p["v"], x), n_head)
-    o = qkv_attention(q, k, v, mask)
+    if fused and mask is None:
+        from whisper_tpu.ops.attention import fused_self_attention
+
+        o = fused_self_attention(q, k, v)
+    else:
+        o = qkv_attention(q, k, v, mask)
     return linear(p["o"], merge_heads(o))
 
 
