@@ -33,6 +33,7 @@ def _cmd_transcribe(args) -> int:
         max_new_tokens=args.max_new_tokens,
         timestamps=args.timestamps,
         dtype=args.dtype,
+        quantization=args.quantize,
     )
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
@@ -136,6 +137,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--max-new-tokens", type=int, default=None)
     t.add_argument("--timestamps", action="store_true")
     t.add_argument("--dtype", default="bfloat16")
+    t.add_argument(
+        "--quantize",
+        choices=["int8"],
+        default=None,
+        help="weight-only quantization (reference models ship dynamic-range "
+        "quantized — export/generate.py:69)",
+    )
     t.add_argument("--clean", action="store_true", help="collapse extra spaces")
     t.add_argument("--verbose", action="store_true")
     t.set_defaults(fn=_cmd_transcribe)

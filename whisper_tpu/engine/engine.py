@@ -81,6 +81,15 @@ class Engine:
     wave file. Batched entry points are the TPU-native extension."""
 
     def __init__(self, assets: _Assets, config: EngineConfig):
+        if config.quantization == "int8":
+            from whisper_tpu.models.quantize import is_quantized, quantize_params
+
+            if not is_quantized(assets.params):
+                assets = dataclasses.replace(
+                    assets, params=quantize_params(assets.params)
+                )
+        elif config.quantization is not None:
+            raise ValueError(f"unknown quantization: {config.quantization!r}")
         self.assets = assets
         self.config = config
         self.dims = assets.dims

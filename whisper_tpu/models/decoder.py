@@ -75,7 +75,7 @@ def _decoder_forward(
     b, t = tokens.shape
     ctx = cache["k"].shape[2]
 
-    x = dec["tok_emb"][tokens] + jax.lax.dynamic_slice_in_dim(
+    x = layers.embed(dec["tok_emb"], tokens) + jax.lax.dynamic_slice_in_dim(
         dec["pos_emb"], pos_offset, t, axis=0
     )
     x = x.astype(compute_dtype)
@@ -118,12 +118,7 @@ def _decoder_forward(
     x, (new_k, new_v) = jax.lax.scan(block, x, xs)
 
     x = layers.layer_norm(dec["ln"], x)
-    logits = jnp.einsum(
-        "btd,vd->btv",
-        x.astype(jnp.float32),
-        dec["tok_emb"].astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    logits = layers.unembed(dec["tok_emb"], x)
     return logits, {"k": new_k, "v": new_v}
 
 

@@ -24,7 +24,19 @@ ACC_DTYPE = jnp.float32
 
 
 def linear(p, x):
-    y = jnp.einsum("...i,io->...o", x, p["w"], preferred_element_type=ACC_DTYPE)
+    if "w_q" in p:
+        # Weight-only int8 (models/quantize.py): int8→compute-dtype convert
+        # fuses into the matmul operand load; per-output-channel rescale
+        # fuses into the f32 epilogue — exact vs dequantize-then-matmul.
+        y = jnp.einsum(
+            "...i,io->...o",
+            x,
+            p["w_q"].astype(x.dtype),
+            preferred_element_type=ACC_DTYPE,
+        )
+        y = y * p["w_s"].astype(ACC_DTYPE)
+    else:
+        y = jnp.einsum("...i,io->...o", x, p["w"], preferred_element_type=ACC_DTYPE)
     if "b" in p:
         y = y + p["b"].astype(ACC_DTYPE)
     return y.astype(x.dtype)
@@ -50,17 +62,44 @@ def gelu(x):
 def conv1d(p, x, stride: int = 1):
     """[B, T, C_in] → [B, T', C_out], SAME-style padding of 1 each side for
     width-3 kernels (the encoder stem's geometry)."""
-    width = p["w"].shape[0]
+    w = p["w_q"] if "w_q" in p else p["w"]
+    width = w.shape[0]
     pad = (width - 1) // 2
     y = jax.lax.conv_general_dilated(
         x,
-        p["w"].astype(x.dtype),
+        w.astype(x.dtype),
         window_strides=(stride,),
         padding=[(pad, pad)],
         dimension_numbers=("NHC", "HIO", "NHC"),
         preferred_element_type=ACC_DTYPE,
     )
+    if "w_q" in p:
+        y = y * p["w_s"].astype(ACC_DTYPE)  # per-c_out int8 rescale
     return (y + p["b"].astype(ACC_DTYPE)).astype(x.dtype)
+
+
+def embed(tok_emb, tokens):
+    """Token-embedding lookup, float or int8 table ({"q","s"} per-row)."""
+    if isinstance(tok_emb, dict):
+        return tok_emb["q"][tokens].astype(jnp.float32) * tok_emb["s"][tokens][
+            ..., None
+        ]
+    return tok_emb[tokens]
+
+
+def unembed(tok_emb, x):
+    """Logits projection against the (possibly int8) embedding table:
+    [..., d] f32 → [..., V] f32."""
+    table = tok_emb["q"] if isinstance(tok_emb, dict) else tok_emb
+    logits = jnp.einsum(
+        "...d,vd->...v",
+        x.astype(jnp.float32),
+        table.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    if isinstance(tok_emb, dict):
+        logits = logits * tok_emb["s"]
+    return logits
 
 
 def split_heads(x, n_head: int):
