@@ -130,3 +130,42 @@ class TestFilterbank:
         librosa = pytest.importorskip("librosa")
         ref = librosa.filters.mel(sr=16_000, n_fft=400, n_mels=80)
         np.testing.assert_allclose(mel_filterbank(), ref, atol=1e-7)
+
+
+class TestFusedPallasMel:
+    """mel_pallas.py parity vs the jnp path (interpret mode on CPU; the
+    compiled kernel is exercised on real TPU by the engine/bench paths)."""
+
+    def test_matches_jnp_path(self, rng):
+        import jax.numpy as jnp
+
+        from whisper_tpu.frontend.mel import log_mel_spectrogram
+        from whisper_tpu.frontend.mel_pallas import log_mel_spectrogram_fused
+
+        x = jnp.asarray(rng.normal(size=(2, N_SAMPLES)).astype(np.float32) * 0.1)
+        ref = np.asarray(log_mel_spectrogram(x))
+        fused = np.asarray(log_mel_spectrogram_fused(x, interpret=True))
+        assert fused.shape == ref.shape == (2, 80, 3000)
+        np.testing.assert_allclose(fused, ref, atol=2e-4)
+
+    def test_unbatched_and_128_mels(self, rng):
+        import jax.numpy as jnp
+
+        from whisper_tpu.frontend.mel import log_mel_spectrogram
+        from whisper_tpu.frontend.mel_pallas import log_mel_spectrogram_fused
+
+        x = jnp.asarray(rng.normal(size=(N_SAMPLES,)).astype(np.float32) * 0.1)
+        fused = np.asarray(log_mel_spectrogram_fused(x, n_mels=128, interpret=True))
+        assert fused.shape == (128, 3000)
+        filters = mel_filterbank(n_mels=128)
+        ref = np.asarray(log_mel_spectrogram(x, jnp.asarray(filters), n_mels=128))
+        np.testing.assert_allclose(fused, ref, atol=2e-4)
+
+    def test_rejects_wrong_length(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from whisper_tpu.frontend.mel_pallas import log_mel_spectrogram_fused
+
+        with pytest.raises(ValueError):
+            log_mel_spectrogram_fused(jnp.zeros((2, 16000)))
