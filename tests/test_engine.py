@@ -94,3 +94,22 @@ class TestBeamEngine:
         batch = eng.transcribe_batch(xs)
         solo = eng.transcribe(xs[0])
         np.testing.assert_array_equal(batch[0].tokens, solo.tokens)
+
+
+class TestTranscribeFiles:
+    def test_files_batch_matches_single(self, monolith, tmp_path, rng):
+        from whisper_tpu.audio.wav import write_wav
+
+        paths = []
+        for i in range(3):
+            x = (rng.normal(size=8000 + i * 500) * 0.1).astype(np.float32)
+            p = str(tmp_path / f"u{i}.wav")
+            write_wav(p, x)
+            paths.append(p)
+        batch_results = monolith.transcribe_files(paths)
+        assert len(batch_results) == 3
+        for p, r in zip(paths, batch_results):
+            single = monolith.transcribe(p)
+            np.testing.assert_array_equal(
+                r.tokens[: r.length], single.tokens[: single.length]
+            )

@@ -46,8 +46,13 @@ def _cmd_transcribe(args) -> int:
     engine = create_engine(
         engine_type, config, params=params, vocab_bin=args.vocab
     )
-    for path in args.inputs:
-        result = engine.transcribe(path)
+    wavs = [p for p in args.inputs if not p.endswith((".pcm", ".raw"))]
+    if len(wavs) == len(args.inputs) and len(args.inputs) > 1:
+        # Many WAVs → one batched device run via the native loader when built.
+        results = engine.transcribe_files(args.inputs)
+    else:
+        results = [engine.transcribe(p) for p in args.inputs]
+    for result in results:
         text = result.clean_text() if args.clean else result.text
         print(text)
         if args.verbose:

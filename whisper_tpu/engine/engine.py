@@ -171,6 +171,29 @@ class Engine:
             )
         return results
 
+    def transcribe_files(
+        self, paths: Sequence[str], omit_special_tokens: bool = True
+    ) -> List[TranscriptionResult]:
+        """Batch file transcription: N files → one padded [N, 480000] host
+        buffer → one device transfer → one batched run.
+
+        Uses the native multithreaded loader (native/whisper_host.cpp
+        wh_load_batch) when built; otherwise decodes serially in Python.
+        Either path replaces the reference's per-file wav_read + per-utterance
+        interpreter memcpy (whisper.cpp:685-690, 293)."""
+        from whisper_tpu.native import load_native
+
+        host = load_native()
+        if host is not None:
+            batch = host.load_batch(paths, max_len=N_SAMPLES)
+        else:
+            batch = np.zeros((len(paths), N_SAMPLES), dtype=np.float32)
+            for i, p in enumerate(paths):
+                s = self._read_audio(p)
+                n = min(len(s), N_SAMPLES)
+                batch[i, :n] = s[:n]
+        return self.transcribe_batch(batch, omit_special_tokens)
+
     def _read_audio(self, path: str) -> np.ndarray:
         if path.endswith(".pcm") or path.endswith(".raw"):
             # minimal.cpp feeds raw PCM through wav_read_legacy's float path
