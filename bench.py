@@ -21,6 +21,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from whisper_tpu.config import MODEL_DIMS
 from whisper_tpu.decode.greedy import greedy_decode
@@ -64,7 +65,8 @@ def main():
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         tokens, lengths = pipeline(params, samples, filters, prompt)
-        jax.block_until_ready(tokens)
+        np.asarray(tokens)  # host transfer: guarantees device completion even
+        # where an RPC-tunneled backend under-blocks block_until_ready
         times.append(time.perf_counter() - t0)
 
     best = min(times)

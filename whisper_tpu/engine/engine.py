@@ -120,6 +120,12 @@ class Engine:
             )
         else:
             self._rules = None  # raw reference behavior (whisper.cpp:382-383)
+        # Structured observability (utils/profiling.py) — replaces the
+        # reference's printf timers (whisper.cpp:708-710, 723-725).
+        from whisper_tpu.utils.profiling import StageTimer, Throughput
+
+        self.timer = StageTimer()
+        self.throughput = Throughput()
 
     def _decode(self, params, enc_out, prompts):
         """Greedy or beam decode per config; returns (tokens, lengths)."""
@@ -155,7 +161,18 @@ class Engine:
         batch = np.zeros((samples.shape[0], N_SAMPLES), dtype=np.float32)
         n = min(samples.shape[1], N_SAMPLES)
         batch[:, :n] = samples[:, :n]  # resize-to-480000 (whisper.cpp:687,698)
+        t_run = time.perf_counter()
         tokens, lengths, mel_ms, model_ms = self._run(batch)
+        wall_s = time.perf_counter() - t_run
+        if mel_ms:
+            self.timer.record("mel", mel_ms / 1e3)
+        self.timer.record("model", model_ms / 1e3)
+        self.throughput.add(
+            audio_seconds=samples.shape[0] * (n / 16_000.0),
+            tokens=int(np.sum(lengths)),
+            utterances=samples.shape[0],
+            wall_s=wall_s,
+        )
         results = []
         for i in range(tokens.shape[0]):
             row = np.asarray(tokens[i][: int(lengths[i])])
