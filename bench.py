@@ -34,12 +34,18 @@ MODEL = os.environ.get("BENCH_MODEL", "tiny")
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 MAX_NEW = int(os.environ.get("BENCH_MAX_NEW", "32"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+QUANT = os.environ.get("BENCH_QUANT", "")  # "" | "int8"
+BEAM = int(os.environ.get("BENCH_BEAM", "1"))
 NORTH_STAR_PER_CHIP = 500.0  # 2000 audio-s/s per 4-chip v5p host, large-v3
 
 
 def main():
     dims = MODEL_DIMS[MODEL]
     params = init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    if QUANT == "int8":
+        from whisper_tpu.models.quantize import quantize_params
+
+        params = quantize_params(params)
     filters = jnp.asarray(mel_filterbank(n_mels=dims.n_mels))
     samples = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 480_000)) * 0.1
     sot = 50258 if dims.multilingual else 50257
@@ -51,6 +57,14 @@ def main():
     def pipeline(params, samples, filters, prompt):
         mel = log_mel_spectrogram(samples, filters, n_mels=dims.n_mels)
         enc_out = encode(params, mel.astype(jnp.bfloat16), dims)
+        if BEAM > 1:
+            from whisper_tpu.decode.beam import beam_decode
+
+            tokens, lengths, _ = beam_decode(
+                params, enc_out, prompt, dims, eot=eot, max_new_tokens=MAX_NEW,
+                beam_size=BEAM, compute_dtype=jnp.bfloat16,
+            )
+            return tokens, lengths
         return greedy_decode(
             params, enc_out, prompt, dims, eot=eot,
             max_new_tokens=MAX_NEW, compute_dtype=jnp.bfloat16,
@@ -83,6 +97,8 @@ def main():
                     "model": MODEL,
                     "batch": BATCH,
                     "max_new_tokens": MAX_NEW,
+                    "beam": BEAM,
+                    "quant": QUANT or None,
                     "dtype": "bfloat16",
                     "device": str(jax.devices()[0]),
                     "times_s": [round(t, 4) for t in times],

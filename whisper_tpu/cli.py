@@ -16,9 +16,21 @@ Covers the reference's four CLI apps with one entry point
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
+
+
+def _apply_platform_override() -> None:
+    """Honor $JAX_PLATFORMS even when a sitecustomize has already imported
+    jax and registered a device backend (which makes the env var a no-op):
+    re-pin the platform through the live config object."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
 
 
 def _cmd_transcribe(args) -> int:
@@ -56,9 +68,10 @@ def _cmd_transcribe(args) -> int:
         text = result.clean_text() if args.clean else result.text
         print(text)
         if args.verbose:
+            lang = f"lang {result.language}, " if result.language else ""
             print(
-                f"  [mel {result.mel_ms:.1f} ms, model {result.model_ms:.1f} ms, "
-                f"{result.length} tokens]",
+                f"  [{lang}mel {result.mel_ms:.1f} ms, "
+                f"model {result.model_ms:.1f} ms, {result.length} tokens]",
                 file=sys.stderr,
             )
     return 0
@@ -188,6 +201,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    _apply_platform_override()
     args = build_parser().parse_args(argv)
     return args.fn(args)
 

@@ -106,7 +106,8 @@ class EngineConfig:
     """
 
     model: str = "tiny"
-    language: Optional[str] = None  # None => English-only model / autodetect off
+    language: Optional[str] = None  # None on a multilingual model => detect
+    # per utterance (decode/language.py); ignored on .en models
     task: str = "transcribe"  # or "translate"
     beam_size: int = 1  # 1 => greedy (reference behavior, whisper.cpp:346-361)
     max_new_tokens: Optional[int] = None  # None => fill n_text_ctx budget

@@ -63,6 +63,7 @@ def beam_decode(
     rules: Optional[LogitRules] = None,
     length_penalty: Optional[float] = None,
     compute_dtype=jnp.float32,
+    cross_kv: Optional[KVCache] = None,  # unreplicated [L, B, T, H, Dh]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best
     hypothesis per batch item (normalized score)."""
@@ -73,9 +74,13 @@ def beam_decode(
     if total_len > dims.n_text_ctx:
         raise ValueError("prompt + max_new_tokens exceeds n_text_ctx")
 
-    # Expand encoder state across beams: [B, T, d] → [B*K, T, d].
-    enc_rep = jnp.repeat(enc_out, k, axis=0)
-    cross_kv = precompute_cross_kv(params, enc_rep, dims)
+    # Cross-KV once per utterance, then replicated across beams along the
+    # batch axis (cache layout [L, B, ctx, H, Dh]) — beams share the same
+    # encoder state, so projecting the K-fold replicated enc_out would just
+    # repeat identical matmuls K times.
+    if cross_kv is None:
+        cross_kv = precompute_cross_kv(params, enc_out, dims)
+    cross_kv = {key: jnp.repeat(v, k, axis=1) for key, v in cross_kv.items()}
     cache = init_kv_cache(dims, bk, total_len, dtype=compute_dtype)
     prompt_rep = jnp.repeat(prompt, k, axis=0)
     sample_begin = jnp.int32(p_len)

@@ -57,6 +57,7 @@ def greedy_decode(
     logit_bias: Optional[jnp.ndarray] = None,  # additive [n_vocab] mask
     rules: Optional[LogitRules] = None,  # suppress/timestamp rules
     compute_dtype=jnp.float32,
+    cross_kv: Optional[KVCache] = None,  # share with language detection
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, P + max_new_tokens], lengths [B]).
 
@@ -71,7 +72,8 @@ def greedy_decode(
             f"prompt({p_len}) + max_new({max_new_tokens}) exceeds n_text_ctx"
         )
 
-    cross_kv = precompute_cross_kv(params, enc_out, dims)
+    if cross_kv is None:
+        cross_kv = precompute_cross_kv(params, enc_out, dims)
     cache = init_kv_cache(dims, b, total_len, dtype=compute_dtype)
     sample_begin = jnp.int32(p_len)
 

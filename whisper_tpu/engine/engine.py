@@ -24,7 +24,7 @@ import dataclasses
 import enum
 import time
 from functools import partial
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -61,11 +61,23 @@ class TranscriptionResult:
     text: str
     tokens: np.ndarray  # [total_len] int32, prompt included
     length: int  # valid tokens incl. terminating EOT
+    language: str = ""  # ISO code (configured, or detected when autodetecting)
+    segments: Optional[list] = None  # [Segment] when timestamps=True
     mel_ms: float = 0.0
     model_ms: float = 0.0
 
     def clean_text(self) -> str:
         return remove_extra_spaces(self.text)
+
+
+@dataclasses.dataclass
+class LongTranscriptionResult:
+    """Result of :meth:`Engine.transcribe_long`: chunk results in time order
+    with their window offsets (seconds) into the original audio."""
+
+    text: str
+    offsets: List[float]
+    chunks: List[TranscriptionResult]
 
 
 @dataclasses.dataclass
@@ -94,9 +106,13 @@ class Engine:
         self.config = config
         self.dims = assets.dims
         self.vocab = assets.vocab
+        # language=None on a multilingual model → per-utterance autodetection
+        # (decode/language.py) — the reference instead hardcodes "de"
+        # (whisper.cpp:327-339).
+        self._autodetect = config.language is None and config.multilingual
         prompt = build_prompt(
             multilingual=config.multilingual,
-            language=config.language,
+            language=config.language or "en",
             task=config.task,
             timestamps=config.timestamps,
             specials=assets.vocab.specials,
@@ -127,7 +143,7 @@ class Engine:
         self.timer = StageTimer()
         self.throughput = Throughput()
 
-    def _decode(self, params, enc_out, prompts):
+    def _decode(self, params, enc_out, prompts, cross_kv=None):
         """Greedy or beam decode per config; returns (tokens, lengths)."""
         common = dict(
             dims=self.dims,
@@ -138,10 +154,34 @@ class Engine:
         )
         if self.config.beam_size > 1:
             tokens, lengths, _scores = beam_decode(
-                params, enc_out, prompts, beam_size=self.config.beam_size, **common
+                params, enc_out, prompts, beam_size=self.config.beam_size,
+                cross_kv=cross_kv, **common
             )
             return tokens, lengths
-        return greedy_decode(params, enc_out, prompts, **common)
+        return greedy_decode(params, enc_out, prompts, cross_kv=cross_kv, **common)
+
+    def _make_prompts(self, params, enc_out):
+        """Batch prompt construction inside the jit program: static template,
+        with the language slot filled by detection when autodetecting.
+        Returns (prompts [B, P], cross_kv or None)."""
+        b = enc_out.shape[0]
+        template = jnp.asarray(self._prompt)
+        prompts = jnp.tile(template[None, :], (b, 1))
+        if not self._autodetect:
+            return prompts, None
+        from whisper_tpu.decode.language import detect_language_tokens
+        from whisper_tpu.models.decoder import precompute_cross_kv
+
+        cross_kv = precompute_cross_kv(params, enc_out, self.dims)
+        lang_toks = detect_language_tokens(
+            params,
+            enc_out,
+            self.dims,
+            sot=self.vocab.specials.sot,
+            compute_dtype=self._compute_dtype,
+            cross_kv=cross_kv,
+        )
+        return prompts.at[:, 1].set(lang_toks), cross_kv
 
     # --- public API (reference parity surface) -----------------------------
     def transcribe(
@@ -177,16 +217,79 @@ class Engine:
         for i in range(tokens.shape[0]):
             row = np.asarray(tokens[i][: int(lengths[i])])
             text = decode_tokens(self.vocab, row, omit_special_tokens)
+            if self.config.multilingual and len(row) > 1:
+                from whisper_tpu.decode.language import lang_token_to_code
+
+                language = lang_token_to_code(row[1], self.vocab.specials.sot)
+            else:
+                language = "en" if not self.config.multilingual else ""
+            if self.config.timestamps:
+                from whisper_tpu.decode.segments import parse_segments
+
+                segments = parse_segments(self.vocab, row)
+            else:
+                segments = None
             results.append(
                 TranscriptionResult(
                     text=text,
                     tokens=np.asarray(tokens[i]),
                     length=int(lengths[i]),
+                    language=language,
+                    segments=segments,
                     mel_ms=mel_ms,
                     model_ms=model_ms,
                 )
             )
         return results
+
+    def transcribe_long(
+        self, audio: Union[str, np.ndarray], omit_special_tokens: bool = True
+    ) -> "LongTranscriptionResult":
+        """Transcribe audio of any length: VAD-segmented ≤30 s chunks fan out
+        as one data-parallel batch (SURVEY.md §2b: chunk-level DP *is* the
+        sequence-scaling story for Whisper's fixed window — the reference
+        instead truncates at 30 s, whisper.cpp:698)."""
+        from whisper_tpu.audio.vad import speech_segments
+
+        samples = (
+            self._read_audio(audio) if isinstance(audio, str)
+            else np.asarray(audio, dtype=np.float32)
+        )
+        chunks: List[Tuple[int, np.ndarray]] = []  # (start_sample, chunk)
+        if len(samples) <= N_SAMPLES:
+            chunks.append((0, samples))
+        else:
+            spans = speech_segments(samples) or [(0, len(samples))]
+            # Pack speech spans into ≤30 s windows; oversized spans split.
+            win_start, win_end = None, None
+            for s, e in spans:
+                while e - s > N_SAMPLES:  # single long span → hard split
+                    if win_start is not None:
+                        chunks.append((win_start, samples[win_start:win_end]))
+                        win_start = None
+                    chunks.append((s, samples[s : s + N_SAMPLES]))
+                    s += N_SAMPLES
+                if win_start is None:
+                    win_start, win_end = s, e
+                elif e - win_start <= N_SAMPLES:
+                    win_end = e
+                else:
+                    chunks.append((win_start, samples[win_start:win_end]))
+                    win_start, win_end = s, e
+            if win_start is not None:
+                chunks.append((win_start, samples[win_start:win_end]))
+
+        max_len = max(len(c) for _, c in chunks)
+        batch = np.zeros((len(chunks), min(max_len, N_SAMPLES)), np.float32)
+        for i, (_, c) in enumerate(chunks):
+            n = min(len(c), N_SAMPLES)
+            batch[i, :n] = c[:n]
+        results = self.transcribe_batch(batch, omit_special_tokens)
+        offsets = [s / 16_000.0 for s, _ in chunks]
+        text = " ".join(
+            r.clean_text().strip() for r in results if r.clean_text().strip()
+        )
+        return LongTranscriptionResult(text=text, offsets=offsets, chunks=results)
 
     def transcribe_files(
         self, paths: Sequence[str], omit_special_tokens: bool = True
@@ -278,9 +381,8 @@ class Monolith(Engine):
                 samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
             )
             enc_out = encode(params, mel.astype(cdt), dims)
-            b = samples.shape[0]
-            prompts = jnp.broadcast_to(jnp.asarray(prompt), (b, len(prompt)))
-            return self._decode(params, enc_out, prompts)
+            prompts, cross_kv = self._make_prompts(params, enc_out)
+            return self._decode(params, enc_out, prompts, cross_kv=cross_kv)
 
         self._pipeline = pipeline
 
@@ -311,9 +413,8 @@ class EncDec(Engine):
 
         @jax.jit
         def decode_fn(params, enc_out):
-            b = enc_out.shape[0]
-            prompts = jnp.broadcast_to(jnp.asarray(prompt), (b, len(prompt)))
-            return self._decode(params, enc_out, prompts)
+            prompts, cross_kv = self._make_prompts(params, enc_out)
+            return self._decode(params, enc_out, prompts, cross_kv=cross_kv)
 
         self._encode = frontend_encode
         self._decode_jit = decode_fn
