@@ -36,6 +36,7 @@ MAX_NEW = int(os.environ.get("BENCH_MAX_NEW", "32"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 QUANT = os.environ.get("BENCH_QUANT", "")  # "" | "int8"
 BEAM = int(os.environ.get("BENCH_BEAM", "1"))
+KV_DTYPE = os.environ.get("BENCH_KV", "")  # "" | "float8_e4m3fn"
 NORTH_STAR_PER_CHIP = 500.0  # 2000 audio-s/s per 4-chip v5p host, large-v3
 
 
@@ -57,17 +58,20 @@ def main():
     def pipeline(params, samples, filters, prompt):
         mel = log_mel_spectrogram(samples, filters, n_mels=dims.n_mels)
         enc_out = encode(params, mel.astype(jnp.bfloat16), dims)
+        kv_dtype = jnp.dtype(KV_DTYPE) if KV_DTYPE else None
         if BEAM > 1:
             from whisper_tpu.decode.beam import beam_decode
 
             tokens, lengths, _ = beam_decode(
                 params, enc_out, prompt, dims, eot=eot, max_new_tokens=MAX_NEW,
                 beam_size=BEAM, compute_dtype=jnp.bfloat16,
+                kv_cache_dtype=kv_dtype,
             )
             return tokens, lengths
         return greedy_decode(
             params, enc_out, prompt, dims, eot=eot,
             max_new_tokens=MAX_NEW, compute_dtype=jnp.bfloat16,
+            kv_cache_dtype=kv_dtype,
         )
 
     # Warmup / compile. Random weights rarely emit EOT, so every decode runs
@@ -99,6 +103,7 @@ def main():
                     "max_new_tokens": MAX_NEW,
                     "beam": BEAM,
                     "quant": QUANT or None,
+                    "kv_dtype": KV_DTYPE or None,
                     "dtype": "bfloat16",
                     "device": str(jax.devices()[0]),
                     "times_s": [round(t, 4) for t in times],

@@ -215,3 +215,56 @@ class TestShardedQuantized:
             max_new_tokens=6,
         )
         np.testing.assert_array_equal(np.asarray(tok_s), np.asarray(tok_1))
+
+
+class TestFp8KVCache:
+    """kv_cache_dtype=float8_e4m3fn: caches store fp8, attention upcasts at
+    use. Halves the dominant large-model activation block (cross-KV)."""
+
+    def test_decode_runs_and_logits_close(self, params):
+        import jax.numpy as jnp
+
+        from whisper_tpu.models.decoder import (
+            decoder_prefill,
+            init_kv_cache,
+            precompute_cross_kv,
+        )
+
+        mel = jax.random.normal(jax.random.PRNGKey(9), (2, DIMS.n_mels, 60))
+        enc_out = encode(params, mel, DIMS)
+        prompt = jnp.tile(jnp.array([[1, 2]], jnp.int32), (2, 1))
+
+        ck_f = precompute_cross_kv(params, enc_out, DIMS)
+        ck_8 = precompute_cross_kv(
+            params, enc_out, DIMS, kv_dtype=jnp.float8_e4m3fn
+        )
+        assert ck_8["k"].dtype == jnp.float8_e4m3fn
+        lo_f, _ = decoder_prefill(
+            params, prompt, init_kv_cache(DIMS, 2, 8), ck_f, DIMS
+        )
+        lo_8, _ = decoder_prefill(
+            params, prompt, init_kv_cache(DIMS, 2, 8, dtype=jnp.float8_e4m3fn),
+            ck_8, DIMS,
+        )
+        a, b = np.asarray(lo_f), np.asarray(lo_8)
+        # fp8 K/V perturbs logits but must stay strongly correlated
+        corr = np.corrcoef(a.reshape(-1), b.reshape(-1))[0, 1]
+        assert corr > 0.98, corr
+
+    def test_greedy_with_fp8_cache(self, params):
+        import jax.numpy as jnp
+
+        mel = jax.random.normal(jax.random.PRNGKey(10), (2, DIMS.n_mels, 60))
+        prompt = jnp.tile(jnp.array([[1, 2]], jnp.int32), (2, 1))
+        tokens, lengths = greedy_decode(
+            params, encode(params, mel, DIMS), prompt, DIMS, eot=EOT,
+            max_new_tokens=6, kv_cache_dtype=jnp.float8_e4m3fn,
+        )
+        assert tokens.shape == (2, 8) and (np.asarray(lengths) > 0).all()
+
+    def test_engine_kv_dtype_config(self, rng):
+        cfg = EngineConfig(model="dev", language="en", max_new_tokens=3,
+                           dtype="float32", kv_cache_dtype="float8_e4m3fn")
+        eng = create_engine(EngineType.MONOLITH, cfg)
+        res = eng.transcribe(rng.normal(size=8000).astype(np.float32) * 0.1)
+        assert res.length > 0

@@ -46,6 +46,7 @@ def _cmd_transcribe(args) -> int:
         timestamps=args.timestamps,
         dtype=args.dtype,
         quantization=args.quantize,
+        kv_cache_dtype=args.kv_dtype,
     )
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
@@ -155,6 +156,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--max-new-tokens", type=int, default=None)
     t.add_argument("--timestamps", action="store_true")
     t.add_argument("--dtype", default="bfloat16")
+    t.add_argument(
+        "--kv-dtype",
+        choices=["float8_e4m3fn", "bfloat16"],
+        default=None,
+        help="KV cache/cross-KV storage dtype (default: compute dtype)",
+    )
     t.add_argument(
         "--quantize",
         choices=["int8"],

@@ -117,6 +117,9 @@ class EngineConfig:
     batch_size: int = 1
     dtype: str = "bfloat16"  # compute dtype on TPU; "float32" for parity tests
     quantization: Optional[str] = None  # None | "int8" weight-only
+    kv_cache_dtype: Optional[str] = None  # None => compute dtype;
+    # "float8_e4m3fn" halves cross-KV + cache HBM (large-v3 cross-KV is the
+    # single biggest activation block: ~250 MB/utterance in bf16)
     # Parallelism (reference: single-device; see SURVEY.md §2b)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model)
     mesh_axis_names: Tuple[str, ...] = ("data", "model")

@@ -64,6 +64,7 @@ def beam_decode(
     length_penalty: Optional[float] = None,
     compute_dtype=jnp.float32,
     cross_kv: Optional[KVCache] = None,  # unreplicated [L, B, T, H, Dh]
+    kv_cache_dtype=None,  # storage dtype for caches (None => compute_dtype)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best
     hypothesis per batch item (normalized score)."""
@@ -79,9 +80,9 @@ def beam_decode(
     # encoder state, so projecting the K-fold replicated enc_out would just
     # repeat identical matmuls K times.
     if cross_kv is None:
-        cross_kv = precompute_cross_kv(params, enc_out, dims)
+        cross_kv = precompute_cross_kv(params, enc_out, dims, kv_dtype=kv_cache_dtype)
     cross_kv = {key: jnp.repeat(v, k, axis=1) for key, v in cross_kv.items()}
-    cache = init_kv_cache(dims, bk, total_len, dtype=compute_dtype)
+    cache = init_kv_cache(dims, bk, total_len, dtype=kv_cache_dtype or compute_dtype)
     prompt_rep = jnp.repeat(prompt, k, axis=0)
     sample_begin = jnp.int32(p_len)
 

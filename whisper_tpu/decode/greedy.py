@@ -58,6 +58,7 @@ def greedy_decode(
     rules: Optional[LogitRules] = None,  # suppress/timestamp rules
     compute_dtype=jnp.float32,
     cross_kv: Optional[KVCache] = None,  # share with language detection
+    kv_cache_dtype=None,  # storage dtype for caches (None => compute_dtype)
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, P + max_new_tokens], lengths [B]).
 
@@ -73,8 +74,8 @@ def greedy_decode(
         )
 
     if cross_kv is None:
-        cross_kv = precompute_cross_kv(params, enc_out, dims)
-    cache = init_kv_cache(dims, b, total_len, dtype=compute_dtype)
+        cross_kv = precompute_cross_kv(params, enc_out, dims, kv_dtype=kv_cache_dtype)
+    cache = init_kv_cache(dims, b, total_len, dtype=kv_cache_dtype or compute_dtype)
     sample_begin = jnp.int32(p_len)
 
     def pick(logits: jnp.ndarray, tokens: jnp.ndarray, pos) -> jnp.ndarray:

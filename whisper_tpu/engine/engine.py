@@ -125,6 +125,9 @@ class Engine:
             else budget
         )
         self._compute_dtype = jnp.dtype(config.dtype)
+        self._kv_dtype = (
+            jnp.dtype(config.kv_cache_dtype) if config.kv_cache_dtype else None
+        )
         self._filters = jnp.asarray(assets.mel_filters)
         if config.suppress_blank or config.suppress_nonspeech or config.timestamps:
             self._rules = make_rules(
@@ -151,6 +154,7 @@ class Engine:
             max_new_tokens=self._max_new,
             rules=self._rules,
             compute_dtype=self._compute_dtype,
+            kv_cache_dtype=self._kv_dtype,
         )
         if self.config.beam_size > 1:
             tokens, lengths, _scores = beam_decode(
@@ -172,7 +176,9 @@ class Engine:
         from whisper_tpu.decode.language import detect_language_tokens
         from whisper_tpu.models.decoder import precompute_cross_kv
 
-        cross_kv = precompute_cross_kv(params, enc_out, self.dims)
+        cross_kv = precompute_cross_kv(
+            params, enc_out, self.dims, kv_dtype=self._kv_dtype
+        )
         lang_toks = detect_language_tokens(
             params,
             enc_out,

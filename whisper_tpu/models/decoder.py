@@ -41,16 +41,21 @@ def init_kv_cache(
 
 
 def precompute_cross_kv(
-    params: Params, enc_out: jnp.ndarray, dims: ModelDims
+    params: Params, enc_out: jnp.ndarray, dims: ModelDims, kv_dtype=None
 ) -> KVCache:
     """Cross-attention K/V over encoder states, computed once per utterance:
     [L, B, n_audio_ctx, H, Dh]. The reference pays this matmul again on every
-    decode step inside its graph."""
+    decode step inside its graph.
+
+    ``kv_dtype`` optionally downcasts storage (e.g. float8_e4m3fn — this is
+    the largest activation block for big models; attention upcasts at use)."""
     n_head = dims.n_text_head
 
     def per_layer(_, bp):
         k = layers.split_heads(layers.linear(bp["cross"]["k"], enc_out), n_head)
         v = layers.split_heads(layers.linear(bp["cross"]["v"], enc_out), n_head)
+        if kv_dtype is not None:
+            k, v = k.astype(kv_dtype), v.astype(kv_dtype)
         return None, (k, v)
 
     _, (xk, xv) = jax.lax.scan(per_layer, None, params["decoder"]["blocks"])

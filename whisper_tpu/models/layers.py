@@ -125,6 +125,10 @@ def qkv_attention(
     MXU. Returns [B, Tq, H, Dh]."""
     dh = q.shape[-1]
     scale = dh**-0.25
+    # fp8-stored caches (EngineConfig.kv_cache_dtype) upcast at the point of
+    # use — the convert fuses into the matmul operand load.
+    if v.dtype.itemsize == 1:
+        v = v.astype(q.dtype)
     qs = q.astype(ACC_DTYPE) * scale
     ks = k.astype(ACC_DTYPE) * scale
     scores = jnp.einsum("bqhd,bkhd->bhqk", qs, ks, preferred_element_type=ACC_DTYPE)
