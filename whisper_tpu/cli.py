@@ -204,7 +204,28 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--output", required=True)
     c.set_defaults(fn=_cmd_convert)
 
+    e = sub.add_parser("eval", help="corpus WER between reference and "
+                       "hypothesis transcripts (line-aligned files)")
+    e.add_argument("--refs", required=True, help="reference transcripts, one/line")
+    e.add_argument("--hyps", required=True, help="hypothesis transcripts, one/line")
+    e.add_argument("--no-normalize", action="store_true")
+    e.set_defaults(fn=_cmd_eval)
+
     return p
+
+
+def _cmd_eval(args) -> int:
+    import json
+
+    from whisper_tpu.utils.wer import word_error_rate
+
+    with open(args.refs) as f:
+        refs = [ln.rstrip("\n") for ln in f]
+    with open(args.hyps) as f:
+        hyps = [ln.rstrip("\n") for ln in f]
+    result = word_error_rate(refs, hyps, normalize=not args.no_normalize)
+    print(json.dumps(result.as_dict()))
+    return 0
 
 
 def main(argv=None) -> int:
