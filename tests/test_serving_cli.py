@@ -269,3 +269,40 @@ class TestServingStress:
                 results[i].tokens[: results[i].length],
                 singles[i].tokens[: singles[i].length],
             )
+
+
+class TestCheckpointCli:
+    def test_transcribe_infers_model_from_npz(self, tmp_path, capsys):
+        import jax
+
+        from whisper_tpu.audio.wav import write_wav
+        from whisper_tpu.cli import main
+        from whisper_tpu.config import MODEL_DIMS
+        from whisper_tpu.models.params import init_params
+        from whisper_tpu.utils.checkpoint import save_params
+
+        dims = MODEL_DIMS["dev.en"]
+        params = init_params(dims, jax.random.PRNGKey(0))
+        ck = str(tmp_path / "dev.npz")
+        save_params(ck, params, dims)
+        wav = str(tmp_path / "a.wav")
+        write_wav(wav, np.zeros(8000, np.float32))
+        rc = main(["transcribe", wav, "--checkpoint", ck, "--dtype", "float32",
+                   "--max-new-tokens", "2"])
+        assert rc == 0
+        assert capsys.readouterr().out.strip() != None
+
+    def test_transcribe_model_mismatch_errors(self, tmp_path, capsys):
+        import jax
+
+        from whisper_tpu.cli import main
+        from whisper_tpu.config import MODEL_DIMS
+        from whisper_tpu.models.params import init_params
+        from whisper_tpu.utils.checkpoint import save_params
+
+        dims = MODEL_DIMS["dev.en"]
+        ck = str(tmp_path / "dev.npz")
+        save_params(ck, init_params(dims, jax.random.PRNGKey(0)), dims)
+        rc = main(["transcribe", "x.wav", "--checkpoint", ck, "--model", "tiny"])
+        assert rc == 2
+        assert "dev.en-shaped" in capsys.readouterr().err

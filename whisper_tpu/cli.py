@@ -34,11 +34,30 @@ def _apply_platform_override() -> None:
 
 
 def _cmd_transcribe(args) -> int:
-    from whisper_tpu.config import EngineConfig
+    from whisper_tpu.config import MODEL_DIMS, EngineConfig
     from whisper_tpu.engine import EngineType, create_engine
 
+    params = None
+    model = args.model
+    if args.checkpoint:
+        from whisper_tpu.models.convert import load_checkpoint
+
+        params, dims = load_checkpoint(args.checkpoint)
+        inferred = next((k for k, v in MODEL_DIMS.items() if v == dims), None)
+        if model is None:
+            if inferred is None:
+                print(f"error: cannot infer model family from {args.checkpoint}; "
+                      "pass --model", file=sys.stderr)
+                return 2
+            model = inferred
+        elif MODEL_DIMS[model] != dims:
+            print(f"error: checkpoint is {inferred or 'unknown'}-shaped but "
+                  f"--model {model} was requested", file=sys.stderr)
+            return 2
+    model = model or "tiny"
+
     config = EngineConfig(
-        model=args.model,
+        model=model,
         language=args.language,
         task=args.task,
         beam_size=args.beam_size,
@@ -51,11 +70,6 @@ def _cmd_transcribe(args) -> int:
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
     )
-    params = None
-    if args.checkpoint:
-        from whisper_tpu.models.convert import load_checkpoint
-
-        params, dims = load_checkpoint(args.checkpoint)
     engine = create_engine(
         engine_type, config, params=params, vocab_bin=args.vocab
     )
@@ -146,7 +160,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("transcribe", help="transcribe audio files")
     t.add_argument("inputs", nargs="+", help="wav/pcm files")
-    t.add_argument("--model", default="tiny")
+    t.add_argument("--model", default=None,
+                   help="model family (default: inferred from --checkpoint, "
+                   "else tiny)")
     t.add_argument("--checkpoint", default=None, help=".pt or HF dir")
     t.add_argument("--vocab", default=None, help="reference-format vocab .bin")
     t.add_argument("--engine", choices=["monolith", "encdec"], default="monolith")

@@ -214,9 +214,20 @@ def from_openai_state_dict(sd: Mapping[str, Any], dims: ModelDims) -> Params:
 # Entry point
 # --------------------------------------------------------------------------
 def load_checkpoint(path: str) -> Tuple[Params, ModelDims]:
-    """Load a checkpoint file: openai-whisper ``.pt`` (torch.load dict with
-    'dims' + 'model_state_dict') or a HF directory/repo (requires
+    """Load a checkpoint: our ``.npz`` interchange file or Orbax directory
+    (utils/checkpoint.py), openai-whisper ``.pt`` (torch.load dict with
+    'dims' + 'model_state_dict'), or a HF directory/repo (requires
     transformers)."""
+    import os
+
+    if path.endswith(".npz"):
+        from whisper_tpu.utils.checkpoint import load_params
+
+        return load_params(path)
+    if os.path.isdir(path) and os.path.exists(os.path.join(path, "dims.json")):
+        from whisper_tpu.utils.checkpoint import load_params_orbax
+
+        return load_params_orbax(path)
     if path.endswith(".pt") or path.endswith(".pth"):
         import torch
 
