@@ -90,3 +90,49 @@ class TestDryrun:
         from whisper_tpu.parallel.dryrun import dryrun_multichip
 
         dryrun_multichip(n)
+
+
+class TestMultihost:
+    """Multi-host helpers (parallel/multihost.py) on the virtual mesh —
+    single process, so global_batch ≙ device_put, but the sharded layout and
+    shard arithmetic are fully exercised."""
+
+    def test_host_shard_partitioning(self):
+        from whisper_tpu.parallel import host_shard
+
+        spans = [host_shard(10, pi, 4) for pi in range(4)]
+        assert spans == [(0, 3), (3, 6), (6, 9), (9, 10)]
+        covered = [i for s, e in spans for i in range(s, e)]
+        assert covered == list(range(10))
+        assert host_shard(2, 3, 4) == (2, 2)  # over-provisioned host: empty
+
+    def test_initialize_single_process_noop(self):
+        from whisper_tpu.parallel import initialize
+
+        initialize()  # must not raise or hang
+
+    def test_global_batch_sharded_on_data(self):
+        from whisper_tpu.parallel import global_batch, make_mesh
+
+        mesh = make_mesh((8, 1))
+        local = np.arange(8 * 5, dtype=np.float32).reshape(8, 5)
+        arr = global_batch(local, mesh)
+        assert arr.shape == (8, 5)
+        assert "data" in str(arr.sharding.spec)
+        np.testing.assert_array_equal(np.asarray(arr), local)
+
+    def test_load_files_sharded(self, tmp_path):
+        from whisper_tpu.audio.wav import read_wav, write_wav
+        from whisper_tpu.parallel import load_files_sharded, make_mesh
+
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(4):
+            p = str(tmp_path / f"m{i}.wav")
+            write_wav(p, (rng.normal(size=4000) * 0.1).astype(np.float32))
+            paths.append(p)
+        mesh = make_mesh((4, 2))
+        arr, local_paths = load_files_sharded(paths, mesh, max_len=4000)
+        assert local_paths == paths  # single process owns everything
+        assert arr.shape == (4, 4000)
+        np.testing.assert_array_equal(np.asarray(arr)[0], read_wav(paths[0]))
