@@ -16,6 +16,7 @@ Exercises the parallelism inventory from SURVEY.md §2b:
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -32,13 +33,48 @@ from whisper_tpu.parallel.mesh import make_mesh
 from whisper_tpu.parallel.sharding import shard_params
 
 
+def _ensure_devices(n_devices: int):
+    """Return ``n_devices`` jax devices, falling back to virtual CPU devices.
+
+    A sitecustomize may import jax and register a single-chip backend before
+    the caller's ``JAX_PLATFORMS``/``XLA_FLAGS`` env vars can take effect
+    (making them no-ops). If the live backend is short on devices, re-pin the
+    platform to CPU with ``xla_force_host_platform_device_count`` — the same
+    fake-cluster capability SURVEY.md §4 calls for — and retry."""
+    # Backends freeze at the first jax.devices() call, so any platform pin
+    # must happen *before* we look. If the caller asked for virtual CPU
+    # devices (the fake-cluster flag SURVEY.md §4 calls for), pin CPU now —
+    # a sitecustomize may have rewritten $JAX_PLATFORMS to its own
+    # single-chip platform, making the caller's env var a silent no-op.
+    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already up; fall through to the live device list
+    devs = jax.devices()
+    if len(devs) >= n_devices:
+        return devs[:n_devices]
+    # Last resort: no force-flag present but too few devices — try CPU.
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        devs = jax.devices()
+    except RuntimeError:
+        pass
+    if len(devs) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(devs)} "
+            f"(platform={devs[0].platform}); run with JAX_PLATFORMS=cpu "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+            "in a fresh process"
+        )
+    return devs[:n_devices]
+
+
 def dryrun_multichip(n_devices: int) -> None:
     """Create an n-device (data, model) mesh, jit the full
     mel→encode→greedy-decode step under real dp+tp shardings, and execute one
     step on tiny shapes. Raises on any compile/sharding error."""
-    devs = jax.devices()[:n_devices]
-    if len(devs) < n_devices:
-        raise RuntimeError(f"need {n_devices} devices, have {len(devs)}")
+    devs = _ensure_devices(n_devices)
     mp = 2 if (n_devices % 2 == 0 and n_devices > 1) else 1
     mesh = make_mesh((n_devices // mp, mp), devices=devs)
 
