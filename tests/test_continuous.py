@@ -1,0 +1,108 @@
+"""Continuous (slot-based) batched decoding: token parity with the static
+engine regardless of arrival order, slot reuse, or pool pressure.
+
+The contract (decode/continuous.py): a ContinuousTranscriber result is
+token-identical to ``engine.transcribe`` for every utterance — continuous
+batching is a *scheduling* change, never a *numerics* change.
+"""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.config import EngineConfig
+from whisper_tpu.engine import EngineType, create_engine
+from whisper_tpu.engine.serving import ContinuousTranscriber
+
+
+def _utterances(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return [
+        (0.1 * rng.standard_normal(rng.integers(8_000, 64_000))).astype(
+            np.float32
+        )
+        for _ in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    config = EngineConfig(
+        model="dev", language="en", dtype="float32", max_new_tokens=8
+    )
+    return create_engine(EngineType.ENCDEC, config, seed=0)
+
+
+def test_parity_with_static_engine(engine):
+    utts = _utterances(5)
+    expected = [engine.transcribe(u) for u in utts]
+    with ContinuousTranscriber(engine, n_slots=3, prefill_batch=2) as ct:
+        futures = [ct.submit(u) for u in utts]
+        results = [f.result(timeout=120) for f in futures]
+    for exp, got in zip(expected, results):
+        assert got.length == exp.length
+        np.testing.assert_array_equal(
+            got.tokens[: got.length], exp.tokens[: exp.length]
+        )
+        assert got.text == exp.text
+
+
+def test_slot_reuse_more_utterances_than_slots(engine):
+    utts = _utterances(7, seed=3)
+    expected = [engine.transcribe(u) for u in utts]
+    with ContinuousTranscriber(engine, n_slots=2, prefill_batch=1) as ct:
+        results = [f.result(timeout=120) for f in [ct.submit(u) for u in utts]]
+    for exp, got in zip(expected, results):
+        np.testing.assert_array_equal(
+            got.tokens[: got.length], exp.tokens[: exp.length]
+        )
+
+
+def test_staggered_arrivals(engine):
+    utts = _utterances(4, seed=7)
+    expected = [engine.transcribe(u) for u in utts]
+    with ContinuousTranscriber(engine, n_slots=2, prefill_batch=2) as ct:
+        f01 = [ct.submit(u) for u in utts[:2]]
+        r0 = f01[0].result(timeout=120)  # wait mid-stream
+        f23 = [ct.submit(u) for u in utts[2:]]
+        rest = [f.result(timeout=120) for f in f01[1:] + f23]
+    results = [r0] + rest
+    for exp, got in zip(expected, results):
+        np.testing.assert_array_equal(
+            got.tokens[: got.length], exp.tokens[: exp.length]
+        )
+
+
+def test_with_rules_and_autodetect():
+    # Multilingual + autodetect + suppression rules exercises the
+    # vectorized-position rules path (decode/logits.py apply with [B] pos).
+    config = EngineConfig(
+        model="dev", language=None, dtype="float32",
+        max_new_tokens=6, suppress_blank=True, suppress_nonspeech=True,
+    )
+    engine = create_engine(EngineType.ENCDEC, config, seed=1)
+    utts = _utterances(3, seed=11)
+    expected = [engine.transcribe(u) for u in utts]
+    with ContinuousTranscriber(engine, n_slots=2, prefill_batch=1) as ct:
+        results = [f.result(timeout=120) for f in [ct.submit(u) for u in utts]]
+    for exp, got in zip(expected, results):
+        np.testing.assert_array_equal(
+            got.tokens[: got.length], exp.tokens[: exp.length]
+        )
+        assert got.language == exp.language
+
+
+def test_close_drains_pending(engine):
+    utts = _utterances(4, seed=5)
+    ct = ContinuousTranscriber(engine, n_slots=2, prefill_batch=2)
+    futures = [ct.submit(u) for u in utts]
+    ct.close(wait=True)  # must finish everything already submitted
+    for f in futures:
+        assert f.done()
+        assert f.result().length >= 1
+
+
+def test_beam_rejected(engine):
+    config = EngineConfig(model="dev", language="en", beam_size=2)
+    beam_engine = create_engine(EngineType.ENCDEC, config, seed=0)
+    with pytest.raises(ValueError, match="greedy-only"):
+        ContinuousTranscriber(beam_engine)

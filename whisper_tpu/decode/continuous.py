@@ -1,0 +1,216 @@
+"""Continuous (slot-based) batched decoding — the TPU form of paged KV serving.
+
+The reference transcribes one utterance at a time behind a global engine lock
+(Whisper.java:130-174); the static-batch engines here (engine/engine.py) lift
+that to fixed batches but still run every utterance in lock-step: a batch is
+only as fast as its slowest decode, and a new utterance waits for the whole
+batch to drain.
+
+This module decouples utterance lifetimes from each other. The decoder state
+is a fixed pool of ``n_slots`` *slots* — one utterance per slot, every slot at
+its own decode depth — advanced by a single compiled step program. When a slot
+emits EOT it is harvested and immediately refilled with a freshly prefilled
+utterance while its neighbors keep decoding. GPU serving stacks call the
+analogous trick continuous batching with a paged KV cache (vLLM); on TPU the
+XLA-friendly inversion is:
+
+* a *slot* is the page: Whisper's decode is architecturally capped at
+  ``n_text_ctx`` (whisper.h:38-39), so one fixed-size KV region per utterance
+  has zero external fragmentation — no page tables, no gather indirection on
+  the attention hot path;
+* all shapes are static: [L, S, ctx, H, Dh] caches, [S] position/active
+  vectors. Occupancy changes are data (masks), never shapes, so the step
+  program compiles exactly once;
+* per-slot depths use the vectorized position form of the decoder
+  (models/decoder.py ``_decoder_forward`` per-row branch) — one scatter per
+  layer instead of a shared dynamic-slice offset.
+
+Host-side orchestration (slot bookkeeping, harvest, refill) lives in
+engine/serving.py::ContinuousTranscriber.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from whisper_tpu.config import ModelDims
+from whisper_tpu.decode.greedy import argmax_last
+from whisper_tpu.decode.logits import LogitRules
+from whisper_tpu.models.decoder import (
+    KVCache,
+    decoder_prefill,
+    decoder_step,
+    init_kv_cache,
+    precompute_cross_kv,
+)
+from whisper_tpu.models.params import Params
+
+
+class SlotState(NamedTuple):
+    """Device-resident state of the slot pool. All leaves have a leading or
+    second slot axis of static size S; occupancy is carried in ``active``."""
+
+    tokens: jnp.ndarray  # [S, total_len] int32 — prompt + generated (+ eot fill)
+    pos: jnp.ndarray  # [S] int32 — next position each slot will write
+    active: jnp.ndarray  # [S] bool — decoding (occupied slots that are done
+    # or empty slots both read False; the host tells them apart)
+    cache: KVCache  # {"k","v"}: [L, S, total_len, H, Dh]
+    cross_kv: KVCache  # {"k","v"}: [L, S, n_audio_ctx, H, Dh]
+
+
+class SlotPack(NamedTuple):
+    """Prefilled utterances ready for insertion, one row per utterance —
+    the same leaves as SlotState minus ``active`` (insertion implies True)."""
+
+    tokens: jnp.ndarray  # [B, total_len]
+    pos: jnp.ndarray  # [B]
+    still_active: jnp.ndarray  # [B] bool — False if EOT fired at prefill
+    cache: KVCache  # [L, B, total_len, H, Dh]
+    cross_kv: KVCache  # [L, B, n_audio_ctx, H, Dh]
+
+
+def init_slot_state(
+    dims: ModelDims,
+    n_slots: int,
+    total_len: int,
+    eot: int,
+    cache_dtype=jnp.float32,
+    kv_dtype=None,
+) -> SlotState:
+    h, dh = dims.n_text_head, dims.n_text_state // dims.n_text_head
+    cross_shape = (dims.n_text_layer, n_slots, dims.n_audio_ctx, h, dh)
+    cross_dtype = kv_dtype or cache_dtype
+    return SlotState(
+        tokens=jnp.full((n_slots, total_len), eot, jnp.int32),
+        pos=jnp.zeros((n_slots,), jnp.int32),
+        active=jnp.zeros((n_slots,), bool),
+        cache=init_kv_cache(dims, n_slots, total_len, dtype=kv_dtype or cache_dtype),
+        cross_kv={
+            "k": jnp.zeros(cross_shape, cross_dtype),
+            "v": jnp.zeros(cross_shape, cross_dtype),
+        },
+    )
+
+
+def _pick(logits, tokens, pos, sample_begin, logit_bias, rules):
+    if logit_bias is not None:
+        logits = logits + logit_bias
+    if rules is not None:
+        logits = rules.apply(logits, tokens, pos, sample_begin)
+    return argmax_last(logits).astype(jnp.int32)
+
+
+def prefill_pack(
+    params: Params,
+    enc_out: jnp.ndarray,  # [B, n_audio_ctx, d]
+    prompts: jnp.ndarray,  # [B, P] int32 — fixed-length prompt template
+    dims: ModelDims,
+    eot: int,
+    total_len: int,
+    logit_bias: Optional[jnp.ndarray] = None,
+    rules: Optional[LogitRules] = None,
+    compute_dtype=jnp.float32,
+    kv_cache_dtype=None,
+    cross_kv: Optional[KVCache] = None,  # share with language detection
+) -> SlotPack:
+    """Encode-side half of admission: cross-KV + prompt prefill + first
+    sampled token for a group of new utterances. Mirrors greedy_decode's
+    prefill exactly so a continuous decode is token-identical to a static
+    one."""
+    b, p_len = prompts.shape
+    if cross_kv is None:
+        cross_kv = precompute_cross_kv(params, enc_out, dims, kv_dtype=kv_cache_dtype)
+    cache = init_kv_cache(dims, b, total_len, dtype=kv_cache_dtype or compute_dtype)
+    logits, cache = decoder_prefill(
+        params, prompts, cache, cross_kv, dims, compute_dtype
+    )
+    tokens = jnp.full((b, total_len), eot, jnp.int32)
+    tokens = tokens.at[:, :p_len].set(prompts)
+    sample_begin = jnp.int32(p_len)
+    first = _pick(logits[:, -1, :], tokens, sample_begin, sample_begin,
+                  logit_bias, rules)
+    tokens = tokens.at[:, p_len].set(first)
+    return SlotPack(
+        tokens=tokens,
+        pos=jnp.full((b,), p_len + 1, jnp.int32),
+        still_active=(first != eot) & (p_len + 1 < total_len),
+        cache=cache,
+        cross_kv=cross_kv,
+    )
+
+
+def insert_slot(state: SlotState, slot: jnp.ndarray, pack: SlotPack, row: int
+                ) -> SlotState:
+    """Insert row ``row`` of a SlotPack at (traced) slot index ``slot``.
+    ``row`` is static; ``slot`` may be a traced scalar so one compiled
+    program serves every slot."""
+
+    def put_row(dst, src, axis):
+        src = jnp.expand_dims(src, axis)
+        idx = [0] * dst.ndim
+        idx[axis] = slot
+        return jax.lax.dynamic_update_slice(dst, src.astype(dst.dtype), idx)
+
+    return SlotState(
+        tokens=put_row(state.tokens, pack.tokens[row], 0),
+        pos=state.pos.at[slot].set(pack.pos[row]),
+        active=state.active.at[slot].set(pack.still_active[row]),
+        cache={
+            n: put_row(state.cache[n], pack.cache[n][:, row], 1)
+            for n in ("k", "v")
+        },
+        cross_kv={
+            n: put_row(state.cross_kv[n], pack.cross_kv[n][:, row], 1)
+            for n in ("k", "v")
+        },
+    )
+
+
+def decode_step_slots(
+    params: Params,
+    state: SlotState,
+    dims: ModelDims,
+    eot: int,
+    sample_begin: int,
+    logit_bias: Optional[jnp.ndarray] = None,
+    rules: Optional[LogitRules] = None,
+    compute_dtype=jnp.float32,
+) -> SlotState:
+    """Advance every active slot by one token. Inactive slots are frozen by
+    masking (their cache writes land on already-dead positions and their
+    token/pos stay put), so the program shape is independent of occupancy."""
+    total_len = state.tokens.shape[1]
+    rows = jnp.arange(state.tokens.shape[0])
+    # Inactive slots still execute the step (static shapes); clamp their
+    # read/write position into range so the gathers stay in-bounds.
+    read_pos = jnp.clip(state.pos - 1, 0, total_len - 1)
+    prev = state.tokens[rows, read_pos]
+    logits, cache = decoder_step(
+        params, prev, read_pos, state.cache, state.cross_kv, dims, compute_dtype
+    )
+    nxt = _pick(logits, state.tokens, state.pos, jnp.int32(sample_begin),
+                logit_bias, rules)
+    nxt = jnp.where(state.active, nxt, state.tokens[rows, jnp.clip(
+        state.pos, 0, total_len - 1)])
+    write_pos = jnp.clip(state.pos, 0, total_len - 1)
+    tokens = state.tokens.at[rows, write_pos].set(
+        jnp.where(state.active, nxt, state.tokens[rows, write_pos])
+    )
+    new_pos = jnp.where(state.active, state.pos + 1, state.pos)
+    active = state.active & (nxt != eot) & (new_pos < total_len)
+    return SlotState(tokens, new_pos, active, cache, state.cross_kv)
+
+
+def harvest_lengths(tokens: jnp.ndarray, p_len: int, eot: int) -> jnp.ndarray:
+    """Valid-token count per slot incl. terminating EOT (greedy_decode's
+    length rule, decode/greedy.py)."""
+    after = tokens[:, p_len:]
+    is_eot = after == eot
+    any_eot = jnp.any(is_eot, axis=1)
+    first_eot = jnp.argmax(is_eot, axis=1)
+    return jnp.where(
+        any_eot, p_len + first_eot + 1, tokens.shape[1]
+    ).astype(jnp.int32)

