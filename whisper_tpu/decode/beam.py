@@ -63,7 +63,7 @@ def beam_decode(
     rules: Optional[LogitRules] = None,
     length_penalty: Optional[float] = None,
     compute_dtype=jnp.float32,
-    cross_kv: Optional[KVCache] = None,  # unreplicated [L, B, T, H, Dh]
+    cross_kv: Optional[KVCache] = None,  # unreplicated [L, B, H, Dh, Tk]
     kv_cache_dtype=None,  # storage dtype for caches (None => compute_dtype)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best

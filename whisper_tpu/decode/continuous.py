@@ -58,7 +58,7 @@ class SlotState(NamedTuple):
     active: jnp.ndarray  # [S] bool — decoding (occupied slots that are done
     # or empty slots both read False; the host tells them apart)
     cache: KVCache  # {"k","v"}: [L, S, total_len, H, Dh]
-    cross_kv: KVCache  # {"k","v"}: [L, S, n_audio_ctx, H, Dh]
+    cross_kv: KVCache  # {"k","v"}: [L, S, H, Dh, n_audio_ctx]
 
 
 class SlotPack(NamedTuple):
@@ -69,7 +69,7 @@ class SlotPack(NamedTuple):
     pos: jnp.ndarray  # [B]
     still_active: jnp.ndarray  # [B] bool — False if EOT fired at prefill
     cache: KVCache  # [L, B, total_len, H, Dh]
-    cross_kv: KVCache  # [L, B, n_audio_ctx, H, Dh]
+    cross_kv: KVCache  # [L, B, H, Dh, n_audio_ctx]
 
 
 def init_slot_state(
@@ -81,7 +81,7 @@ def init_slot_state(
     kv_dtype=None,
 ) -> SlotState:
     h, dh = dims.n_text_head, dims.n_text_state // dims.n_text_head
-    cross_shape = (dims.n_text_layer, n_slots, dims.n_audio_ctx, h, dh)
+    cross_shape = (dims.n_text_layer, n_slots, h, dh, dims.n_audio_ctx)
     cross_dtype = kv_dtype or cache_dtype
     return SlotState(
         tokens=jnp.full((n_slots, total_len), eot, jnp.int32),

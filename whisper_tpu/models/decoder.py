@@ -25,7 +25,11 @@ from whisper_tpu.config import ModelDims
 from whisper_tpu.models import layers
 from whisper_tpu.models.params import Params
 
-KVCache = Dict[str, jnp.ndarray]  # {"k": [L,B,ctx,H,Dh], "v": [L,B,ctx,H,Dh]}
+# Self-attention cache: {"k"/"v": [L, B, ctx, H, Dh]} (ctx is small: prompt +
+# token budget). Cross-attention cache: {"k"/"v": [L, B, H, Dh, n_audio_ctx]}
+# — head-major/sequence-minor so every decode step streams it transpose-free
+# (layers.cross_attention_T).
+KVCache = Dict[str, jnp.ndarray]
 
 NEG_INF = -1e30  # large-negative instead of -inf: keeps softmax NaN-free for
 # fully-masked (not yet written) cache rows
@@ -44,8 +48,10 @@ def precompute_cross_kv(
     params: Params, enc_out: jnp.ndarray, dims: ModelDims, kv_dtype=None
 ) -> KVCache:
     """Cross-attention K/V over encoder states, computed once per utterance:
-    [L, B, n_audio_ctx, H, Dh]. The reference pays this matmul again on every
-    decode step inside its graph.
+    [L, B, H, Dh, n_audio_ctx] — head-major, sequence-minor (the layout
+    layers.cross_attention_T streams with zero per-step transposes; see its
+    docstring). The reference pays this matmul again on every decode step
+    inside its graph.
 
     ``kv_dtype`` optionally downcasts storage (e.g. float8_e4m3fn — this is
     the largest activation block for big models; attention upcasts at use)."""
@@ -54,6 +60,10 @@ def precompute_cross_kv(
     def per_layer(_, bp):
         k = layers.split_heads(layers.linear(bp["cross"]["k"], enc_out), n_head)
         v = layers.split_heads(layers.linear(bp["cross"]["v"], enc_out), n_head)
+        # [B, Tk, H, Dh] → [B, H, Dh, Tk]: one transpose at precompute buys
+        # transpose-free reads on every decode step after it.
+        k = jnp.transpose(k, (0, 2, 3, 1))
+        v = jnp.transpose(v, (0, 2, 3, 1))
         if kv_dtype is not None:
             k, v = k.astype(kv_dtype), v.astype(kv_dtype)
         return None, (k, v)
@@ -134,7 +144,7 @@ def _decoder_forward(
         # --- cross-attention over precomputed encoder K/V ---
         hn = layers.layer_norm(bp["ln2"], h)
         qx = layers.split_heads(layers.linear(bp["cross"]["q"], hn), n_head)
-        cross_out = layers.qkv_attention(qx, xk_l, xv_l, mask=None)
+        cross_out = layers.cross_attention_T(qx, xk_l, xv_l)
         h = h + layers.linear(bp["cross"]["o"], layers.merge_heads(cross_out))
 
         # --- MLP ---
