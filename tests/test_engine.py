@@ -84,6 +84,33 @@ class TestEngineParity:
         np.testing.assert_array_equal(a.tokens, b.tokens)
 
 
+class TestBatchBucketing:
+    def test_bucket_sizes(self):
+        from whisper_tpu.engine.engine import batch_bucket
+
+        assert [batch_bucket(b) for b in (1, 2, 3, 4, 5, 8, 9)] == \
+            [1, 2, 4, 4, 8, 8, 16]
+
+    def test_varied_batch_sizes_bounded_compiles(self):
+        """Batch sizes 1..5 land in buckets {1,2,4,8}: ≤4 executables instead
+        of one per distinct size, and padded rows never leak into results."""
+        eng = Monolith.from_random(
+            EngineConfig(model="dev.en", max_new_tokens=4, dtype="float32"),
+            seed=0,
+        )
+        singles = {}
+        for b in (1, 2, 3, 4, 5):
+            xs = np.stack([_noise(seed=s) for s in range(b)])
+            rs = eng.transcribe_batch(xs)
+            assert len(rs) == b
+            for i, r in enumerate(rs):
+                if i not in singles:
+                    singles[i] = eng.transcribe(xs[i])
+                np.testing.assert_array_equal(r.tokens, singles[i].tokens)
+        # buckets hit: 1, 2, 4 (b=3,4), 8 (b=5) + the size-1 single calls
+        assert eng._pipeline._cache_size() <= 4
+
+
 class TestBeamEngine:
     def test_beam_engine_runs_and_batches(self, cfg):
         import dataclasses

@@ -84,8 +84,13 @@ def _cmd_transcribe(args) -> int:
         print(text)
         if args.verbose:
             lang = f"lang {result.language}, " if result.language else ""
+            mel = (
+                "mel fused"  # Monolith: one program, no separate mel stage
+                if result.mel_ms is None
+                else f"mel {result.mel_ms:.1f} ms"
+            )
             print(
-                f"  [{lang}mel {result.mel_ms:.1f} ms, "
+                f"  [{lang}{mel}, "
                 f"model {result.model_ms:.1f} ms, {result.length} tokens]",
                 file=sys.stderr,
             )

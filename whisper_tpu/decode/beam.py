@@ -1,4 +1,4 @@
-"""Vectorized beam search: beams as a folded batch axis.
+"""Vectorized beam search: beams as a folded batch axis, openai semantics.
 
 The reference decodes greedy-only with a 30-token budget
 (whisper.cpp:346-399); beam search is net-new capability (BASELINE.json
@@ -6,17 +6,41 @@ configs[2]: beam=5). TPU-native layout (SURVEY.md §2b "beam parallelism"):
 
 * hypotheses live as a flattened [B*K] batch dimension, so every decoder step
   is one batched matmul program — no per-beam control flow;
-* per-step selection is ``lax.top_k`` over the [B, K*V] joint score table;
+* **cross-KV is stored once per utterance, not per beam**: beams share the
+  encoder state, and cross-attention is unmasked/position-independent, so
+  beam queries fold into the query-row axis of the per-utterance attention
+  matmuls (models/decoder.py ``beam_width``). The full cross-KV read is the
+  dominant HBM stream of a decode step (~250 MB per large-v3 utterance in
+  bf16), so sharing it cuts that traffic and its memory footprint by K;
+* per-step candidate work is per-beam ``lax.top_k`` over the vocab followed
+  by tiny [B, K*(K+1)] selection tables — exactly openai-whisper's candidate
+  pool (top beam_size+1 per beam), vectorized;
 * hypothesis reshuffle is a gather along the batch-beam axis applied to the
-  token buffer AND the KV cache (this gather is the beam analogue of the
-  reference's per-step tensor re-allocation, but it stays on-device; under
-  tensor parallelism it rides ICI as an all-gather XLA inserts);
-* finished hypotheses are frozen: they emit only EOT at zero cost, so their
-  scores are preserved while shapes stay static.
+  token buffer AND the self-attention KV cache (on-device; under tensor
+  parallelism it rides ICI as an all-gather XLA inserts).
 
-Scoring is sum-of-logprobs with optional length normalization at
-finalization (the public Whisper "length_penalty" behavior: score /
-length**penalty; penalty=None → score / length).
+Semantics match openai-whisper's ``BeamSearchDecoder`` (decoding.py):
+
+* each sample keeps a separate **finished-hypothesis set** of up to K
+  entries; active beams are always the top-K *non-EOT* candidates, so a
+  finished hypothesis can never be evicted by a longer active beam;
+* an EOT candidate is collected only if it sorts before the K-th best
+  non-EOT candidate (openai iterates candidates in score order and stops
+  after saving K continuations);
+* the finished set fills in arrival order and never replaces (openai's
+  ``if len(finished_sequences[i]) < beam_size``) — later, better-scoring
+  EOTs are dropped once the set is full;
+* decode stops when every sample holds K finished hypotheses (or the token
+  budget ends); incomplete sets are padded from the surviving active beams
+  in raw-score order;
+* ranking is by length-normalized score: score/length, or the GNMT penalty
+  ``((5+len)/6)**p`` when ``length_penalty`` is given.
+
+Ties sort by (score desc, candidate index asc) — the order of openai's
+stable ``sorted`` over dict insertion order (beam-major, then per-beam
+top-k rank); ``lax.top_k`` breaks ties in favor of lower index, which
+matches. Pinned by tests/test_beam.py (selection unit tests with forced
+ties + a differential test against a dict-based reference implementation).
 """
 
 from __future__ import annotations
@@ -40,16 +64,117 @@ from whisper_tpu.models.params import Params
 NEG_INF = -1e30
 
 
+class FinishedSet(NamedTuple):
+    """Per-sample finished hypotheses, K fixed slots each."""
+
+    tokens: jnp.ndarray  # [B, K, L] int32
+    scores: jnp.ndarray  # [B, K] raw sum-logprob
+    lengths: jnp.ndarray  # [B, K] valid tokens incl. terminating EOT
+    valid: jnp.ndarray  # [B, K] bool
+
+
 class BeamState(NamedTuple):
-    pos: jnp.ndarray  # scalar int32
-    tokens: jnp.ndarray  # [B*K, L]
-    scores: jnp.ndarray  # [B*K] sum logprobs
-    cache: KVCache
-    finished: jnp.ndarray  # [B*K] bool
+    pos: jnp.ndarray  # scalar int32 — next position to write
+    tokens: jnp.ndarray  # [B*K, L] active-beam token buffers
+    scores: jnp.ndarray  # [B*K] active sum-logprobs
+    cache: KVCache  # self-attention cache [L, B*K, ctx, H, Dh]
+    fin: FinishedSet
 
 
-def _reorder(x: jnp.ndarray, idx: jnp.ndarray, bk_axis: int) -> jnp.ndarray:
-    return jnp.take(x, idx, axis=bk_axis)
+class Selection(NamedTuple):
+    """Result of one candidate-selection round (see select_candidates)."""
+
+    act_idx: jnp.ndarray  # [B, K] candidate index per continuing beam slot
+    act_scores: jnp.ndarray  # [B, K]
+    eot_idx: jnp.ndarray  # [B, K] eligible EOT candidates, best first
+    eot_scores: jnp.ndarray  # [B, K]
+    eot_valid: jnp.ndarray  # [B, K] bool
+
+
+def select_candidates(
+    cand_scores: jnp.ndarray,  # [B, C] joint scores, candidate order =
+    # beam-major then per-beam rank (openai dict insertion order)
+    cand_is_eot: jnp.ndarray,  # [B, C] bool
+    k: int,
+) -> Selection:
+    """openai BeamSearchDecoder.update's candidate walk, vectorized.
+
+    openai iterates candidates sorted by (score desc, insertion order),
+    collecting EOT candidates into the finished pool and non-EOT candidates
+    as continuations, stopping after the K-th continuation. Equivalently:
+
+    * continuations = top-K non-EOT candidates;
+    * an EOT is eligible iff it sorts strictly before the K-th continuation
+      (score greater, or equal score and lower candidate index).
+
+    The candidate pool must contain ≥ K non-EOT entries (per-beam top (K+1)
+    guarantees it: at most one EOT per beam row).
+    """
+    b, c = cand_scores.shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+
+    non_eot_scores = jnp.where(cand_is_eot, NEG_INF, cand_scores)
+    act_scores, act_idx = jax.lax.top_k(non_eot_scores, k)  # [B, K]
+    kth_score = act_scores[:, -1]
+    kth_idx = act_idx[:, -1]
+
+    eligible = cand_is_eot & (
+        (cand_scores > kth_score[:, None])
+        | ((cand_scores == kth_score[:, None]) & (idx < kth_idx[:, None]))
+    )
+    eot_masked = jnp.where(eligible, cand_scores, NEG_INF)
+    eot_scores, eot_idx = jax.lax.top_k(eot_masked, k)
+    eot_valid = jnp.take_along_axis(eligible, eot_idx, axis=1)
+    return Selection(act_idx, act_scores, eot_idx, eot_scores, eot_valid)
+
+
+def _insert_finished(
+    fin: FinishedSet,
+    new_tokens: jnp.ndarray,  # [B, K, L] candidate buffers, best first
+    new_scores: jnp.ndarray,  # [B, K]
+    new_lengths: jnp.ndarray,  # [B, K]
+    new_valid: jnp.ndarray,  # [B, K]
+) -> FinishedSet:
+    """Fill-no-replace insertion (openai ``if len(finished) < beam_size``):
+    existing entries keep their slots in arrival order; new candidates fill
+    remaining slots in their own (score) order; a full set never changes."""
+    b, k = fin.scores.shape
+    slot = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    # Priority keys: existing occupants 2K-i (K+1..2K), newcomers K-j (1..K),
+    # empty/invalid -1 — existing always outrank new, both preserve order.
+    keys = jnp.concatenate(
+        [
+            jnp.where(fin.valid, 2 * k - slot, -1),
+            jnp.where(new_valid, k - slot, -1),
+        ],
+        axis=1,
+    )  # [B, 2K]
+    sel_keys, sel_pos = jax.lax.top_k(keys, k)  # [B, K]
+
+    def pick(old, new):  # gather along the 2K pool axis
+        pool = jnp.concatenate([old, new], axis=1)
+        if pool.ndim == 3:
+            return jnp.take_along_axis(pool, sel_pos[:, :, None], axis=1)
+        return jnp.take_along_axis(pool, sel_pos, axis=1)
+
+    return FinishedSet(
+        tokens=pick(fin.tokens, new_tokens),
+        scores=pick(fin.scores, new_scores),
+        lengths=pick(fin.lengths, new_lengths),
+        valid=sel_keys >= 1,
+    )
+
+
+def _lengths_of(tokens: jnp.ndarray, p_len: int, eot: int) -> jnp.ndarray:
+    """Valid-token count incl. terminating EOT; rows without EOT (budget
+    exhausted) count the full buffer. Matches greedy_decode's rule."""
+    after = tokens[..., p_len:]
+    is_eot = after == eot
+    any_eot = jnp.any(is_eot, axis=-1)
+    first = jnp.argmax(is_eot, axis=-1)
+    return jnp.where(any_eot, p_len + first + 1, tokens.shape[-1]).astype(
+        jnp.int32
+    )
 
 
 def beam_decode(
@@ -60,6 +185,7 @@ def beam_decode(
     eot: int,
     max_new_tokens: int,
     beam_size: int = 5,
+    logit_bias: Optional[jnp.ndarray] = None,  # additive [n_vocab] mask
     rules: Optional[LogitRules] = None,
     length_penalty: Optional[float] = None,
     compute_dtype=jnp.float32,
@@ -67,7 +193,7 @@ def beam_decode(
     kv_cache_dtype=None,  # storage dtype for caches (None => compute_dtype)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best
-    hypothesis per batch item (normalized score)."""
+    finished hypothesis per batch item (length-normalized score)."""
     b, p_len = prompt.shape
     k = beam_size
     bk = b * k
@@ -75,100 +201,142 @@ def beam_decode(
     if total_len > dims.n_text_ctx:
         raise ValueError("prompt + max_new_tokens exceeds n_text_ctx")
 
-    # Cross-KV once per utterance, then replicated across beams along the
-    # batch axis (cache layout [L, B, ctx, H, Dh]) — beams share the same
-    # encoder state, so projecting the K-fold replicated enc_out would just
-    # repeat identical matmuls K times.
+    # Cross-KV once per utterance and SHARED by its beams — never replicated
+    # (decoder beam_width folds beam queries into the attention query rows).
     if cross_kv is None:
         cross_kv = precompute_cross_kv(params, enc_out, dims, kv_dtype=kv_cache_dtype)
-    cross_kv = {key: jnp.repeat(v, k, axis=1) for key, v in cross_kv.items()}
-    cache = init_kv_cache(dims, bk, total_len, dtype=kv_cache_dtype or compute_dtype)
-    prompt_rep = jnp.repeat(prompt, k, axis=0)
     sample_begin = jnp.int32(p_len)
 
     def logprobs_of(logits, tokens, pos):
+        if logit_bias is not None:
+            logits = logits + logit_bias
         if rules is not None:
             logits = rules.apply(logits, tokens, pos, sample_begin)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-    # --- prefill all beams (identical content per batch item) ---
-    logits, cache = decoder_prefill(
-        params, prompt_rep, cache, cross_kv, dims, compute_dtype
+    # --- prefill ONCE per utterance (beams are identical at the prompt),
+    # then fan the self-cache out to the beam axis ---
+    cache_b = init_kv_cache(dims, b, total_len, dtype=kv_cache_dtype or compute_dtype)
+    logits, cache_b = decoder_prefill(
+        params, prompt, cache_b, cross_kv, dims, compute_dtype
     )
-    tokens = jnp.full((bk, total_len), eot, dtype=jnp.int32)
-    tokens = tokens.at[:, :p_len].set(prompt_rep)
+    cache = {key: jnp.repeat(v, k, axis=1) for key, v in cache_b.items()}
 
-    lp = logprobs_of(logits[:, -1, :], tokens, sample_begin)  # [B*K, V]
-    v = lp.shape[-1]
-    # First expansion: all beams are identical, so take top-k distinct tokens
-    # from beam 0 of each batch item.
-    first_lp = lp.reshape(b, k, v)[:, 0, :]  # [B, V]
-    top_scores, top_tokens = jax.lax.top_k(first_lp, k)  # [B, K]
-    tokens = tokens.at[:, p_len].set(top_tokens.reshape(bk))
-    scores = top_scores.reshape(bk)
-    finished = tokens[:, p_len] == eot
+    tokens_b = jnp.full((b, total_len), eot, dtype=jnp.int32)
+    tokens_b = tokens_b.at[:, :p_len].set(prompt)
+    lp0 = logprobs_of(logits[:, -1, :], tokens_b, sample_begin)  # [B, V]
 
-    state = BeamState(jnp.int32(p_len + 1), tokens, scores, cache, finished)
+    # First expansion: openai's dict dedups the K identical beams down to one
+    # candidate set of the top (K+1) tokens; the same selection walk applies.
+    c0_scores, c0_tokens = jax.lax.top_k(lp0, k + 1)  # [B, K+1]
+    sel0 = select_candidates(c0_scores, c0_tokens == eot, k)
+
+    act_tok0 = jnp.take_along_axis(c0_tokens, sel0.act_idx, axis=1)  # [B, K]
+    tokens = jnp.repeat(tokens_b, k, axis=0)  # [B*K, L]
+    tokens = tokens.at[:, p_len].set(act_tok0.reshape(bk))
+    scores = sel0.act_scores.reshape(bk)
+
+    fin = FinishedSet(
+        tokens=jnp.broadcast_to(tokens_b[:, None, :], (b, k, total_len)),
+        scores=jnp.full((b, k), NEG_INF, jnp.float32),
+        lengths=jnp.full((b, k), p_len + 1, jnp.int32),
+        valid=jnp.zeros((b, k), bool),
+    )
+    # Finished buffers for prefill EOTs: prompt + terminating EOT (the buffer
+    # is EOT-filled past the prompt already).
+    fin = _insert_finished(
+        fin,
+        jnp.broadcast_to(tokens_b[:, None, :], (b, k, total_len)),
+        sel0.eot_scores,
+        jnp.full((b, k), p_len + 1, jnp.int32),
+        sel0.eot_valid,
+    )
+
+    state = BeamState(jnp.int32(p_len + 1), tokens, scores, cache, fin)
 
     def cond(s: BeamState):
-        return (s.pos < total_len) & ~jnp.all(s.finished)
+        return (s.pos < total_len) & ~jnp.all(s.fin.valid)
 
     def body(s: BeamState) -> BeamState:
         prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, 1, keepdims=False)
         logits, cache = decoder_step(
-            params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype
+            params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype,
+            beam_width=k,
         )
         lp = logprobs_of(logits, s.tokens, s.pos)  # [B*K, V]
 
-        # Finished beams: only EOT continuation, at zero additional cost.
-        ids = jax.lax.broadcasted_iota(jnp.int32, (bk, v), 1)
-        frozen = jnp.where(ids == eot, 0.0, NEG_INF)
-        lp = jnp.where(s.finished[:, None], frozen, lp)
+        # openai's candidate pool: top (K+1) per beam (≥ K non-EOT overall),
+        # flattened beam-major → dict insertion order.
+        top_lp, top_tok = jax.lax.top_k(lp, k + 1)  # [B*K, K+1]
+        cand_scores = (s.scores[:, None] + top_lp).reshape(b, k * (k + 1))
+        cand_tokens = top_tok.reshape(b, k * (k + 1))
+        cand_src = (
+            jax.lax.broadcasted_iota(jnp.int32, (b, k * (k + 1)), 1) // (k + 1)
+        )
 
-        joint = (s.scores[:, None] + lp).reshape(b, k * v)
-        top_scores, flat_idx = jax.lax.top_k(joint, k)  # [B, K]
-        src_beam = flat_idx // v  # [B, K] beam index within item
-        new_tok = (flat_idx % v).astype(jnp.int32)
+        sel = select_candidates(cand_scores, cand_tokens == eot, k)
 
-        # Global gather indices into the B*K axis.
-        batch_base = jax.lax.broadcasted_iota(jnp.int32, (b, k), 0) * k
-        gather_idx = (batch_base + src_beam).reshape(bk)
+        # --- finished insertions: source-beam snapshots already end in the
+        # EOT fill at position pos, so the buffer is the hypothesis as-is ---
+        eot_src = jnp.take_along_axis(cand_src, sel.eot_idx, axis=1)  # [B, K]
+        base = jax.lax.broadcasted_iota(jnp.int32, (b, k), 0) * k
+        eot_rows = (base + eot_src).reshape(bk)
+        eot_tokens = jnp.take(s.tokens, eot_rows, axis=0).reshape(b, k, total_len)
+        fin = _insert_finished(
+            s.fin,
+            eot_tokens,
+            sel.eot_scores,
+            jnp.full((b, k), s.pos + 1, jnp.int32),
+            sel.eot_valid,
+        )
 
-        tokens = _reorder(s.tokens, gather_idx, 0)
+        # --- continuations: gather token buffers + self-cache by source beam,
+        # write the chosen token ---
+        act_src = jnp.take_along_axis(cand_src, sel.act_idx, axis=1)
+        act_tok = jnp.take_along_axis(cand_tokens, sel.act_idx, axis=1)
+        act_rows = (base + act_src).reshape(bk)
+        tokens = jnp.take(s.tokens, act_rows, axis=0)
         tokens = jax.lax.dynamic_update_index_in_dim(
-            tokens, new_tok.reshape(bk), s.pos, axis=1
+            tokens, act_tok.reshape(bk), s.pos, axis=1
         )
         cache = {
-            "k": _reorder(cache["k"], gather_idx, 1),
-            "v": _reorder(cache["v"], gather_idx, 1),
+            "k": jnp.take(cache["k"], act_rows, axis=1),
+            "v": jnp.take(cache["v"], act_rows, axis=1),
         }
-        finished = _reorder(s.finished, gather_idx, 0) | (
-            new_tok.reshape(bk) == eot
-        )
         return BeamState(
-            s.pos + 1, tokens, top_scores.reshape(bk), cache, finished
+            s.pos + 1, tokens, sel.act_scores.reshape(bk), cache, fin
         )
 
     final = jax.lax.while_loop(cond, body, state)
 
-    # --- finalize: pick best beam per item by normalized score ---
-    after = final.tokens[:, p_len:]
-    is_eot = after == eot
-    any_eot = jnp.any(is_eot, axis=1)
-    first_eot = jnp.argmax(is_eot, axis=1)
-    lengths = jnp.where(any_eot, p_len + first_eot + 1, total_len).astype(jnp.int32)
+    # --- finalize: pad incomplete finished sets from the surviving active
+    # beams in raw-score order (openai GreedyDecoder.finalize appends EOT to
+    # unfinished sequences; our buffers already carry the EOT fill) ---
+    act_scores_bk = final.scores.reshape(b, k)
+    pad_scores, pad_beam = jax.lax.top_k(act_scores_bk, k)  # all K, sorted
+    base = jax.lax.broadcasted_iota(jnp.int32, (b, k), 0) * k
+    pad_rows = (base + pad_beam).reshape(bk)
+    pad_tokens = jnp.take(final.tokens, pad_rows, axis=0).reshape(b, k, total_len)
+    pad_lengths = _lengths_of(pad_tokens, p_len, eot)
+    fin = _insert_finished(
+        final.fin, pad_tokens, pad_scores, pad_lengths,
+        jnp.ones((b, k), bool),
+    )
 
-    gen_len = (lengths - p_len).astype(jnp.float32)
+    # --- rank by normalized score (openai MaximumLikelihoodRanker) ---
+    gen_len = jnp.maximum(fin.lengths - p_len, 1).astype(jnp.float32)
     if length_penalty is None:
-        norm = jnp.maximum(gen_len, 1.0)
+        norm = gen_len
     else:
         norm = ((5.0 + gen_len) / 6.0) ** length_penalty  # GNMT penalty
-    norm_scores = final.scores / norm
+    norm_scores = jnp.where(fin.valid, fin.scores / norm, NEG_INF)
 
-    best = jnp.argmax(norm_scores.reshape(b, k), axis=1)  # [B]
-    pick_idx = jnp.arange(b, dtype=jnp.int32) * k + best.astype(jnp.int32)
+    best = jnp.argmax(norm_scores, axis=1)  # [B]
+    take = lambda x: jnp.take_along_axis(  # noqa: E731
+        x, best[:, None] if x.ndim == 2 else best[:, None, None], axis=1
+    )
     return (
-        jnp.take(final.tokens, pick_idx, axis=0),
-        jnp.take(lengths, pick_idx, axis=0),
-        jnp.take(norm_scores, pick_idx, axis=0),
+        take(fin.tokens)[:, 0],
+        take(fin.lengths)[:, 0],
+        take(norm_scores)[:, 0],
     )

@@ -63,7 +63,8 @@ class TranscriptionResult:
     length: int  # valid tokens incl. terminating EOT
     language: str = ""  # ISO code (configured, or detected when autodetecting)
     segments: Optional[list] = None  # [Segment] when timestamps=True
-    mel_ms: float = 0.0
+    mel_ms: Optional[float] = None  # None = mel fused into the model program
+    # (Monolith runs one executable; there is no separate mel stage to time)
     model_ms: float = 0.0
 
     def clean_text(self) -> str:
@@ -78,6 +79,12 @@ class LongTranscriptionResult:
     text: str
     offsets: List[float]
     chunks: List[TranscriptionResult]
+
+
+def batch_bucket(b: int) -> int:
+    """Next power of two ≥ b: the static batch sizes jit programs compile
+    for. Keeps the executable count logarithmic in the largest batch seen."""
+    return 1 << max(b - 1, 0).bit_length()
 
 
 @dataclasses.dataclass
@@ -204,9 +211,16 @@ class Engine:
         samples: np.ndarray,  # [B, n] float32, any n (padded/truncated to 30 s)
         omit_special_tokens: bool = True,
     ) -> List[TranscriptionResult]:
-        batch = np.zeros((samples.shape[0], N_SAMPLES), dtype=np.float32)
+        b = samples.shape[0]
+        # Bucket the batch axis to the next power of two: under jit every
+        # distinct batch size is a distinct executable (a recompile stall the
+        # first time it appears), so arbitrary sizes — e.g. transcribe_long's
+        # VAD-dependent chunk counts — would compile without bound. Buckets
+        # bound the executables at log2(max batch) and waste at most 2x on
+        # zero rows; padded rows are sliced off before results.
+        batch = np.zeros((batch_bucket(b), N_SAMPLES), dtype=np.float32)
         n = min(samples.shape[1], N_SAMPLES)
-        batch[:, :n] = samples[:, :n]  # resize-to-480000 (whisper.cpp:687,698)
+        batch[:b, :n] = samples[:, :n]  # resize-to-480000 (whisper.cpp:687,698)
         t_run = time.perf_counter()
         tokens, lengths, mel_ms, model_ms = self._run(batch)
         wall_s = time.perf_counter() - t_run
@@ -214,9 +228,9 @@ class Engine:
             self.timer.record("mel", mel_ms / 1e3)
         self.timer.record("model", model_ms / 1e3)
         self.throughput.add(
-            audio_seconds=samples.shape[0] * (n / 16_000.0),
-            tokens=int(np.sum(lengths)),
-            utterances=samples.shape[0],
+            audio_seconds=b * (n / 16_000.0),
+            tokens=int(np.sum(lengths[:b])),
+            utterances=b,
             wall_s=wall_s,
         )
         return [
@@ -224,7 +238,7 @@ class Engine:
                 np.asarray(tokens[i]), int(lengths[i]), omit_special_tokens,
                 mel_ms=mel_ms, model_ms=model_ms,
             )
-            for i in range(tokens.shape[0])
+            for i in range(b)
         ]
 
     def result_from_tokens(
@@ -232,7 +246,7 @@ class Engine:
         tokens: np.ndarray,  # [total_len] int32, prompt included
         length: int,
         omit_special_tokens: bool = True,
-        mel_ms: float = 0.0,
+        mel_ms: Optional[float] = None,
         model_ms: float = 0.0,
     ) -> TranscriptionResult:
         """Detokenize one decoded row into a TranscriptionResult — shared by
@@ -413,7 +427,9 @@ class Monolith(Engine):
         )
         tokens = np.asarray(jax.block_until_ready(tokens))
         dt = (time.perf_counter() - t0) * 1e3
-        return tokens, np.asarray(lengths), 0.0, dt
+        # mel_ms=None: the mel stage is fused into the single program, there
+        # is no separate measurement (the round-1 "0.0 ms" read as one).
+        return tokens, np.asarray(lengths), None, dt
 
 
 class EncDec(Engine):

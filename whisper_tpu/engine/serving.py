@@ -47,8 +47,12 @@ class AsyncTranscriber:
 
     Requests submitted from any thread are coalesced for up to
     ``max_wait_ms`` or until ``max_batch`` requests are pending, then run as
-    one padded device batch. Shapes stay static (everything pads to 30 s), so
-    there is exactly one compiled executable regardless of arrival pattern.
+    one device batch. Every flush is padded to the full ``max_batch`` shape
+    (zero rows for missing requests) and utterances pad to 30 s, so there is
+    exactly one compiled executable regardless of arrival pattern — asserted
+    by tests/test_serving_cli.py::test_async_single_compilation. Pick
+    ``max_batch`` for the steady-state load: zero rows burn device time, a
+    recompile burns seconds.
     """
 
     def __init__(
@@ -117,7 +121,13 @@ class AsyncTranscriber:
     def _flush(self, batch: List[_Request]) -> None:
         if self.on_status:
             self.on_status(MSG_PROCESSING)
-        stacked = np.zeros((len(batch), N_SAMPLES), dtype=np.float32)
+        # Always dispatch at the full max_batch shape: a partial flush padded
+        # with zero rows reuses the one compiled executable instead of
+        # compiling one per distinct arrival count (a multi-second stall the
+        # first time each size appears). Zero rows cost device FLOPs but the
+        # batch dimension is cheap next to a recompile; results for them are
+        # dropped below. Pinned by tests/test_serving_cli.py.
+        stacked = np.zeros((self.max_batch, N_SAMPLES), dtype=np.float32)
         for i, r in enumerate(batch):
             n = min(len(r.samples), N_SAMPLES)
             stacked[i, :n] = r.samples[:n]

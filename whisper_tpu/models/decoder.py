@@ -82,8 +82,17 @@ def _decoder_forward(
     cross_kv: KVCache,
     dims: ModelDims,
     compute_dtype=jnp.float32,
+    beam_width: int = 1,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Shared body for prefill (T = prompt length) and step (T = 1).
+
+    ``beam_width=K>1`` means the token batch axis is a folded [B*K] beam axis
+    while ``cross_kv`` stays at true batch B: all K beams of an utterance
+    share one cross-KV copy. Cross-attention is unmasked and
+    position-independent, so grouping is a pure reshape — beam queries fold
+    into the query-row axis of the per-utterance attention matmuls. This cuts
+    the decode step's dominant HBM stream (the full cross-KV read, ~250 MB
+    per large-v3 utterance in bf16) by K versus replicating the cache.
 
     Returns (logits [B, T, n_vocab] float32, updated cache).
     """
@@ -144,7 +153,15 @@ def _decoder_forward(
         # --- cross-attention over precomputed encoder K/V ---
         hn = layers.layer_norm(bp["ln2"], h)
         qx = layers.split_heads(layers.linear(bp["cross"]["q"], hn), n_head)
-        cross_out = layers.cross_attention_T(qx, xk_l, xv_l)
+        if beam_width > 1:
+            # Fold beams into the query-row axis: [B*K, T, H, Dh] →
+            # [B, K*T, H, Dh] against cross-KV stored at batch B.
+            dh = qx.shape[-1]
+            qx = qx.reshape(b // beam_width, beam_width * t, n_head, dh)
+            cross_out = layers.cross_attention_T(qx, xk_l, xv_l)
+            cross_out = cross_out.reshape(b, t, n_head, dh)
+        else:
+            cross_out = layers.cross_attention_T(qx, xk_l, xv_l)
         h = h + layers.linear(bp["cross"]["o"], layers.merge_heads(cross_out))
 
         # --- MLP ---
@@ -182,9 +199,14 @@ def decoder_step(
     cross_kv: KVCache,
     dims: ModelDims,
     compute_dtype=jnp.float32,
+    beam_width: int = 1,
 ) -> Tuple[jnp.ndarray, KVCache]:
-    """One autoregressive step. Returns (logits [B, V], updated cache)."""
+    """One autoregressive step. Returns (logits [B, V], updated cache).
+
+    ``beam_width=K``: token/cache batch axis is [B*K] while cross_kv stays at
+    B — beams share one cross-KV read (see _decoder_forward)."""
     logits, cache = _decoder_forward(
-        params, token[:, None], pos, cache, cross_kv, dims, compute_dtype
+        params, token[:, None], pos, cache, cross_kv, dims, compute_dtype,
+        beam_width=beam_width,
     )
     return logits[:, 0, :], cache

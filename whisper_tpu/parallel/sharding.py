@@ -96,9 +96,9 @@ def enc_out_pspec(data_axis: str = "data") -> P:
 
 
 def shard_params(params: Params, mesh: Mesh, dims: ModelDims) -> Params:
-    """Place a param pytree onto the mesh per param_pspecs. Heads must divide
-    the model axis (checked here: a wrong mesh silently degrades to
-    replication otherwise)."""
+    """Place a param pytree (float or int8-quantized) onto the mesh per
+    param_pspecs. Heads must divide the model axis (checked here: a wrong
+    mesh silently degrades to replication otherwise)."""
     mp = mesh.shape["model"]
     if dims.n_audio_head % mp or dims.n_text_head % mp:
         raise ValueError(
@@ -106,6 +106,10 @@ def shard_params(params: Params, mesh: Mesh, dims: ModelDims) -> Params:
             f"({dims.n_audio_head}/{dims.n_text_head})"
         )
     specs = param_pspecs(dims)
+    from whisper_tpu.models.quantize import is_quantized, quantize_pspecs
+
+    if is_quantized(params):
+        specs = quantize_pspecs(specs, params)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,
