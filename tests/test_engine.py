@@ -84,6 +84,73 @@ class TestEngineParity:
         np.testing.assert_array_equal(a.tokens, b.tokens)
 
 
+class TestReferenceQuirks:
+    """EngineConfig.reference_quirks reaches the advertised bit-parity
+    switches (round-1 weak #8: they were internals-only)."""
+
+    def test_literal_reference_prompt(self):
+        # whisper.cpp:331-339 hardcodes "de" and the UNSHIFTED task IDs:
+        # expected sequence [50258, 50261, 50359, 50363].
+        eng = Monolith.from_random(
+            EngineConfig(model="dev", language="de", max_new_tokens=4,
+                         dtype="float32", reference_quirks=True),
+            seed=0,
+        )
+        assert eng._prompt.tolist() == [50258, 50261, 50359, 50363]
+        # Without quirks the corrected real-tokenizer table applies — for a
+        # 99-language multilingual model that is the SAME sequence (the
+        # reference hardcoded the right IDs even though its own "+1 shift"
+        # table was wrong); large-v3's 100-language layout differs.
+        plain = Monolith.from_random(
+            EngineConfig(model="dev", language="de", max_new_tokens=4,
+                         dtype="float32"),
+            seed=0,
+        )
+        assert plain._prompt.tolist() == [50258, 50261, 50359, 50363]
+        from whisper_tpu.decode.prompt import build_prompt
+        from whisper_tpu.tokenizer.vocab import special_tokens_for
+
+        v3 = build_prompt(
+            multilingual=True, language="de",
+            specials=special_tokens_for(True, num_languages=100),
+        )
+        assert v3 == [50258, 50261, 50360, 50364]
+
+    def test_quirk_downmix_through_engine(self, tmp_path):
+        # Stereo downmix by INT32_MAX (wav_util.cpp:122-126) via the engine's
+        # file reader when quirks are on; sane (l+r)/2 scaling otherwise.
+        import struct
+        import wave
+
+        p = str(tmp_path / "stereo.wav")
+        frames = np.array([[1000, 3000], [-2000, 500]], dtype=np.int16)
+        with wave.open(p, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(16_000)
+            w.writeframes(frames.tobytes())
+
+        quirky = Monolith.from_random(
+            EngineConfig(model="dev", language="de", max_new_tokens=4,
+                         dtype="float32", reference_quirks=True),
+            seed=0,
+        )
+        got = quirky._read_audio(p)
+        want = frames.astype(np.float64).sum(axis=1) / (2**31 - 1)
+        np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-6)
+
+        plain = Monolith.from_random(
+            EngineConfig(model="dev", language="de", max_new_tokens=4,
+                         dtype="float32"),
+            seed=0,
+        )
+        got_plain = plain._read_audio(p)
+        want_plain = frames.astype(np.float64).sum(axis=1) / (2.0 * 32767)
+        np.testing.assert_allclose(
+            got_plain, want_plain.astype(np.float32), rtol=1e-6
+        )
+
+
 class TestBatchBucketing:
     def test_bucket_sizes(self):
         from whisper_tpu.engine.engine import batch_bucket

@@ -46,26 +46,51 @@ class TestLanguages:
 
 
 class TestSpecialTokens:
-    def test_english_ids(self):
-        st = special_tokens_for(multilingual=False)  # whisper.h:34-42
-        assert (st.eot, st.sot) == (50256, 50257)
-        assert (st.translate, st.transcribe) == (50358, 50359)
-        assert (st.prev, st.solm, st.not_, st.beg) == (50360, 50361, 50362, 50363)
+    """Pinned against the actual openai tokenizer layouts (eot, sot,
+    languages×N, translate, transcribe, startoflm, startofprev, nospeech,
+    notimestamps, timestamps…). The reference's hardcoded English table
+    (whisper.h:34-42) gets translate/transcribe one too high and swaps
+    solm/nospeech — latent there because its English path never samples
+    them; its "+1 shift" multilingual transform (whisper.cpp:218-226)
+    propagates the same error, which is why its decoder prompt hardcodes
+    the correct 50359 instead of using the shifted table value."""
 
-    def test_multilingual_shift(self):
-        st = special_tokens_for(multilingual=True)  # whisper.cpp:218-226
+    def test_english_ids(self):
+        st = special_tokens_for(multilingual=False)
+        assert (st.eot, st.sot) == (50256, 50257)
+        assert (st.translate, st.transcribe) == (50357, 50358)
+        assert (st.solm, st.prev, st.nospeech) == (50359, 50360, 50361)
+        assert (st.not_, st.beg) == (50362, 50363)
+
+    def test_multilingual_ids(self):
+        st = special_tokens_for(multilingual=True)
         assert (st.eot, st.sot) == (50257, 50258)
+        assert (st.translate, st.transcribe) == (50358, 50359)
+        assert (st.solm, st.prev, st.nospeech) == (50360, 50361, 50362)
         assert st.not_ == 50363 and st.beg == 50364
+
+    def test_large_v3_ids(self):
+        # <|yue|> pushes everything after the language block up by one.
+        st = special_tokens_for(multilingual=True, num_languages=100)
+        assert (st.translate, st.transcribe) == (50359, 50360)
+        assert st.not_ == 50364 and st.beg == 50365
+        assert st.lang_token(99) == 50358  # <|yue|> itself
+
+    def test_yue_rejected_on_99_language_models(self):
+        st = special_tokens_for(multilingual=True)
+        with pytest.raises(ValueError, match="yue"):
+            st.lang_token(99)
 
     def test_reference_prompt_sequence(self):
         # Expected multilingual German prompt [50258, 50261, 50359, 50363]
-        # per whisper.cpp:331-332. NOTE the reference uses *unshifted*
-        # transcribe/notimestamps IDs; the true multilingual table has
-        # transcribe=50360/not=50363. whisper.cpp's 50359 is its own quirk —
-        # but 50363 == shifted not_ - ... see decode/prompt tests.
+        # per whisper.cpp:331-332 — with the corrected table this IS the
+        # default prompt (sot, lang, transcribe, notimestamps): the
+        # reference's hardcoded IDs were checkpoint-correct even though its
+        # own token table wasn't.
         st = special_tokens_for(multilingual=True)
         assert st.sot == 50258
         assert st.lang_token(language_id("de")) == 50261
+        assert st.transcribe == 50359 and st.not_ == 50363
 
 
 class TestVocabSynthesis:

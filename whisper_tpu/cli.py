@@ -56,6 +56,16 @@ def _cmd_transcribe(args) -> int:
             return 2
     model = model or "tiny"
 
+    mesh_shape = (1, 1)
+    if args.mesh:
+        try:
+            d, m = (int(x) for x in args.mesh.split(","))
+            mesh_shape = (d, m)
+        except ValueError:
+            print(f"error: --mesh wants 'data,model' (got {args.mesh!r})",
+                  file=sys.stderr)
+            return 2
+
     config = EngineConfig(
         model=model,
         language=args.language,
@@ -66,6 +76,8 @@ def _cmd_transcribe(args) -> int:
         dtype=args.dtype,
         quantization=args.quantize,
         kv_cache_dtype=args.kv_dtype,
+        mesh_shape=mesh_shape,
+        reference_quirks=args.reference_quirks,
     )
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
@@ -178,6 +190,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--timestamps", action="store_true")
     t.add_argument("--dtype", default="bfloat16")
     t.add_argument(
+        "--mesh",
+        default=None,
+        metavar="DATA,MODEL",
+        help="run on a device mesh, e.g. 4,2 = 4-way batch DP x 2-way "
+        "tensor parallel (params sharded per parallel/sharding.py)",
+    )
+    t.add_argument(
         "--kv-dtype",
         choices=["float8_e4m3fn", "bfloat16"],
         default=None,
@@ -189,6 +208,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="weight-only quantization (reference models ship dynamic-range "
         "quantized — export/generate.py:69)",
+    )
+    t.add_argument(
+        "--reference-quirks",
+        action="store_true",
+        help="bit-parity mode vs the reference binaries: literal multilingual "
+        "prompt [sot, lang, 50359, 50363] (whisper.cpp:331-339) and the "
+        "INT32_MAX stereo downmix (wav_util.cpp:122-126)",
     )
     t.add_argument("--clean", action="store_true", help="collapse extra spaces")
     t.add_argument("--verbose", action="store_true")

@@ -123,6 +123,12 @@ class EngineConfig:
     # Parallelism (reference: single-device; see SURVEY.md §2b)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model)
     mesh_axis_names: Tuple[str, ...] = ("data", "model")
+    # Bit-parity mode vs the reference binaries: reproduces its literal
+    # multilingual prompt (unshifted task/notimestamps IDs 50359/50363 —
+    # whisper.cpp:331-339) and the stereo downmix-by-INT32_MAX bug
+    # (wav_util.cpp:122-126). Off by default: real checkpoints expect the
+    # true multilingual token IDs and a sane downmix.
+    reference_quirks: bool = False
 
     def dims(self) -> ModelDims:
         return MODEL_DIMS[self.model]

@@ -169,8 +169,12 @@ def make_rules(
 
     static = np.zeros((v,), dtype=np.float32)
     suppressed = set(extra_suppress)
-    # Specials that must never be sampled mid-transcript.
-    suppressed |= {st.sot, st.prev, st.solm}
+    # Specials that must never be sampled mid-transcript — openai
+    # decoding.py's _get_suppress_tokens: [transcribe, translate, sot,
+    # sot_prev, sot_lm] plus no_speech when the tokenizer has one.
+    suppressed |= {
+        st.sot, st.prev, st.solm, st.transcribe, st.translate, st.nospeech,
+    }
     if suppress_nonspeech:
         suppressed |= set(nonspeech_token_ids(vocab))
     if timestamps:

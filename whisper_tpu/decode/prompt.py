@@ -7,11 +7,13 @@ Contract (SURVEY.md §2a.8, reference whisper.cpp:327-339):
 * English-only models: ``[sot, notimestamps]`` (the golden tiny.en output
   starts ``50257, 50362`` — whisper.h:27-32).
 
-``reference_quirks=True`` reproduces the reference's literal multilingual
-prompt, which uses the *unshifted* task ID 50359 and notimestamps 50363
-(whisper.cpp:331-339) instead of the true multilingual table values
-(transcribe=50360, notimestamps=50364). Real checkpoints expect the true
-values; the quirk switch exists for bit-parity testing against the reference.
+With the corrected token table (tokenizer/vocab.py special_tokens_for) the
+default transcribe prompt for 99-language multilingual models IS the
+reference's literal sequence — its hardcoded IDs were checkpoint-correct
+even though its own "+1 shift" vocab table wasn't. ``reference_quirks=True``
+pins the literal IDs 50359/50363 regardless of model: it diverges from the
+default only for the translate task, timestamp mode, and large-v3's
+100-language layout (where the real task/notimestamps IDs are 50360/50364).
 """
 
 from __future__ import annotations

@@ -46,7 +46,7 @@ from whisper_tpu.models.encoder import encode
 from whisper_tpu.models.params import Params, init_params
 from whisper_tpu.tokenizer.binfmt import read_bin
 from whisper_tpu.tokenizer.detokenize import decode_tokens, remove_extra_spaces
-from whisper_tpu.tokenizer.vocab import Vocab
+from whisper_tpu.tokenizer.vocab import Vocab, num_languages_for
 
 
 class EngineType(enum.IntEnum):
@@ -109,6 +109,26 @@ class Engine:
                 )
         elif config.quantization is not None:
             raise ValueError(f"unknown quantization: {config.quantization!r}")
+        # Parallel execution is part of the product surface, not a test-only
+        # path: mesh_shape=(data, model) in the config stands up a sharded
+        # engine behind the same create_engine factory the reference exposes
+        # as its one entry point (whisper.cpp:778-790). Params are placed per
+        # parallel/sharding.py (Megatron column/row TP + batch DP); inputs
+        # shard along `data`; XLA inserts the collectives.
+        if int(np.prod(config.mesh_shape)) > 1:
+            from whisper_tpu.parallel.mesh import make_mesh
+            from whisper_tpu.parallel.sharding import shard_params
+
+            self.mesh = make_mesh(
+                tuple(config.mesh_shape),
+                axis_names=tuple(config.mesh_axis_names),
+            )
+            assets = dataclasses.replace(
+                assets,
+                params=shard_params(assets.params, self.mesh, assets.dims),
+            )
+        else:
+            self.mesh = None
         self.assets = assets
         self.config = config
         self.dims = assets.dims
@@ -123,6 +143,7 @@ class Engine:
             task=config.task,
             timestamps=config.timestamps,
             specials=assets.vocab.specials,
+            reference_quirks=config.reference_quirks,
         )
         self._prompt = np.asarray(prompt, dtype=np.int32)
         budget = self.dims.n_text_ctx - len(prompt)
@@ -136,6 +157,12 @@ class Engine:
             jnp.dtype(config.kv_cache_dtype) if config.kv_cache_dtype else None
         )
         self._filters = jnp.asarray(assets.mel_filters)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._filters = jax.device_put(
+                self._filters, NamedSharding(self.mesh, PartitionSpec())
+            )
         if config.suppress_blank or config.suppress_nonspeech or config.timestamps:
             self._rules = make_rules(
                 assets.vocab,
@@ -218,7 +245,11 @@ class Engine:
         # VAD-dependent chunk counts — would compile without bound. Buckets
         # bound the executables at log2(max batch) and waste at most 2x on
         # zero rows; padded rows are sliced off before results.
-        batch = np.zeros((batch_bucket(b), N_SAMPLES), dtype=np.float32)
+        padded_b = batch_bucket(b)
+        if self.mesh is not None:  # data-axis sharding needs even division
+            d = self.mesh.shape[self.config.mesh_axis_names[0]]
+            padded_b = -(-padded_b // d) * d
+        batch = np.zeros((padded_b, N_SAMPLES), dtype=np.float32)
         n = min(samples.shape[1], N_SAMPLES)
         batch[:b, :n] = samples[:, :n]  # resize-to-480000 (whisper.cpp:687,698)
         t_run = time.perf_counter()
@@ -334,7 +365,14 @@ class Engine:
         Uses the native multithreaded loader (native/whisper_host.cpp
         wh_load_batch) when built; otherwise decodes serially in Python.
         Either path replaces the reference's per-file wav_read + per-utterance
-        interpreter memcpy (whisper.cpp:685-690, 293)."""
+        interpreter memcpy (whisper.cpp:685-690, 293).
+
+        Under a multi-process mesh (jax.distributed), each host decodes only
+        its shard of ``paths`` into a globally sharded batch
+        (parallel/multihost.py) — no host materializes all audio — and every
+        process returns the full, path-ordered result list."""
+        if self.mesh is not None and jax.process_count() > 1:
+            return self._transcribe_files_multiprocess(paths, omit_special_tokens)
         from whisper_tpu.native import load_native
 
         host = load_native()
@@ -348,6 +386,76 @@ class Engine:
                 batch[i, :n] = s[:n]
         return self.transcribe_batch(batch, omit_special_tokens)
 
+    def _transcribe_files_multiprocess(
+        self, paths: Sequence[str], omit_special_tokens: bool
+    ) -> List[TranscriptionResult]:
+        """N-host batch transcription: per-host file decode → globally
+        sharded batch → one SPMD run → allgathered tokens, reassembled into
+        path order. Every process returns the same full result list."""
+        from whisper_tpu.parallel.multihost import host_shard, load_files_sharded
+
+        data_axis = self.config.mesh_axis_names[0]
+        global_arr, _local = load_files_sharded(
+            paths, self.mesh, max_len=N_SAMPLES, data_axis=data_axis
+        )
+        # _run's _to_host allgathers across processes: tokens/lengths below
+        # are the full global arrays on every host.
+        tokens, lengths, mel_ms, model_ms = self._run(global_arr)
+
+        # Global row layout is process-major with per-process zero padding to
+        # a multiple of the data-axis size (multihost.global_batch); rebuild
+        # the row → path mapping from the same deterministic shard function.
+        axis = self.mesh.shape[data_axis]
+        results: List[Optional[TranscriptionResult]] = [None] * len(paths)
+        row = 0
+        for p in range(jax.process_count()):
+            s, e = host_shard(len(paths), p, jax.process_count())
+            for i in range(e - s):
+                results[s + i] = self.result_from_tokens(
+                    tokens[row + i], int(lengths[row + i]), omit_special_tokens,
+                    mel_ms=mel_ms, model_ms=model_ms,
+                )
+            n_local = e - s
+            row += -(-n_local // axis) * axis if n_local % axis else n_local
+        return results  # type: ignore[return-value]
+
+    def _to_host(self, x) -> np.ndarray:
+        """Device → host, across processes when the mesh spans them (every
+        process ends up with the full array)."""
+        x = jax.block_until_ready(x)
+        if self.mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    def _place_batch(self, batch) -> jnp.ndarray:
+        """Host batch → device array; sharded along the data axis when the
+        engine runs on a mesh (one host→devices transfer either way).
+        Already-placed global arrays (multi-process path) pass through."""
+        if isinstance(batch, jax.Array) and self.mesh is not None:
+            return batch
+        x = jnp.asarray(batch)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.device_put(
+                x, NamedSharding(self.mesh, P(self.config.mesh_axis_names[0]))
+            )
+        return x
+
+    def _enc_constraint(self, enc_out: jnp.ndarray) -> jnp.ndarray:
+        """Pin encoder output to [data, None, None] inside jit so the decode
+        loop's sharding is decided here, not re-derived per op."""
+        if self.mesh is None:
+            return enc_out
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(
+            enc_out,
+            NamedSharding(self.mesh, P(self.config.mesh_axis_names[0], None, None)),
+        )
+
     def _read_audio(self, path: str) -> np.ndarray:
         if path.endswith(".pcm") or path.endswith(".raw"):
             # minimal.cpp feeds raw PCM through wav_read_legacy's float path
@@ -355,7 +463,7 @@ class Engine:
 
             return read_pcm_f32(path)
         try:
-            return read_wav(path)
+            return read_wav(path, reference_quirks=self.config.reference_quirks)
         except ValueError:
             return read_wav_legacy(path)
 
@@ -377,7 +485,10 @@ class Engine:
         params = init_params(
             dims, jax.random.PRNGKey(seed), dtype=jnp.dtype(config.dtype)
         )
-        vocab = vocab or Vocab.synthetic(multilingual=config.multilingual)
+        vocab = vocab or Vocab.synthetic(
+            multilingual=config.multilingual,
+            num_languages=num_languages_for(dims.n_vocab),
+        )
         filters = mel_filterbank(n_mels=dims.n_mels)
         return cls(_Assets(params, dims, vocab, filters), config)
 
@@ -395,7 +506,10 @@ class Engine:
             vocab = assets_bin.vocab
             filters = assets_bin.mel_filters
         else:
-            vocab = vocab or Vocab.synthetic(multilingual=config.multilingual)
+            vocab = vocab or Vocab.synthetic(
+            multilingual=config.multilingual,
+            num_languages=num_languages_for(dims.n_vocab),
+        )
             filters = mel_filterbank(n_mels=dims.n_mels)
         return cls(_Assets(params, dims, vocab, filters), config)
 
@@ -414,7 +528,7 @@ class Monolith(Engine):
             mel = log_mel_spectrogram(
                 samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
             )
-            enc_out = encode(params, mel.astype(cdt), dims)
+            enc_out = self._enc_constraint(encode(params, mel.astype(cdt), dims))
             prompts, cross_kv = self._make_prompts(params, enc_out)
             return self._decode(params, enc_out, prompts, cross_kv=cross_kv)
 
@@ -423,13 +537,13 @@ class Monolith(Engine):
     def _run(self, batch: np.ndarray):
         t0 = time.perf_counter()
         tokens, lengths = self._pipeline(
-            self.assets.params, jnp.asarray(batch), self._filters
+            self.assets.params, self._place_batch(batch), self._filters
         )
-        tokens = np.asarray(jax.block_until_ready(tokens))
+        tokens = self._to_host(tokens)
         dt = (time.perf_counter() - t0) * 1e3
         # mel_ms=None: the mel stage is fused into the single program, there
         # is no separate measurement (the round-1 "0.0 ms" read as one).
-        return tokens, np.asarray(lengths), None, dt
+        return tokens, self._to_host(lengths), None, dt
 
 
 class EncDec(Engine):
@@ -445,7 +559,7 @@ class EncDec(Engine):
             mel = log_mel_spectrogram(
                 samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
             )
-            return encode(params, mel.astype(cdt), dims)
+            return self._enc_constraint(encode(params, mel.astype(cdt), dims))
 
         @jax.jit
         def decode_fn(params, enc_out):
@@ -458,13 +572,13 @@ class EncDec(Engine):
     def _run(self, batch: np.ndarray):
         t0 = time.perf_counter()
         enc_out = jax.block_until_ready(
-            self._encode(self.assets.params, jnp.asarray(batch), self._filters)
+            self._encode(self.assets.params, self._place_batch(batch), self._filters)
         )
         t1 = time.perf_counter()
         tokens, lengths = self._decode_jit(self.assets.params, enc_out)
-        tokens = np.asarray(jax.block_until_ready(tokens))
+        tokens = self._to_host(tokens)
         t2 = time.perf_counter()
-        return tokens, np.asarray(lengths), (t1 - t0) * 1e3, (t2 - t1) * 1e3
+        return tokens, self._to_host(lengths), (t1 - t0) * 1e3, (t2 - t1) * 1e3
 
 
 def create_engine(

@@ -17,20 +17,8 @@ Exercises the parallelism inventory from SURVEY.md §2b:
 from __future__ import annotations
 
 import os
-from functools import partial
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
-
-from whisper_tpu.config import ModelDims
-from whisper_tpu.decode.greedy import greedy_decode
-from whisper_tpu.frontend.filters import mel_filterbank
-from whisper_tpu.frontend.mel import log_mel_spectrogram
-from whisper_tpu.models.encoder import encode
-from whisper_tpu.models.params import init_params
-from whisper_tpu.parallel.mesh import make_mesh
-from whisper_tpu.parallel.sharding import shard_params
 
 
 def _ensure_devices(n_devices: int):
@@ -71,56 +59,49 @@ def _ensure_devices(n_devices: int):
 
 
 def dryrun_multichip(n_devices: int) -> None:
-    """Create an n-device (data, model) mesh, jit the full
-    mel→encode→greedy-decode step under real dp+tp shardings, and execute one
-    step on tiny shapes. Raises on any compile/sharding error."""
-    devs = _ensure_devices(n_devices)
+    """Stand up the PRODUCT surface on an n-device (data, model) mesh —
+    ``create_engine`` with ``mesh_shape`` in the config, exactly what a user
+    gets from the CLI's ``--mesh`` flag — and execute the full sharded
+    pipeline (mel → encode → KV-cached decode) for both greedy and beam
+    engines on tiny shapes. Raises on any compile/sharding error."""
+    import numpy as np
+
+    from whisper_tpu.config import EngineConfig
+    from whisper_tpu.engine import EngineType, create_engine
+
+    _ensure_devices(n_devices)
     mp = 2 if (n_devices % 2 == 0 and n_devices > 1) else 1
-    mesh = make_mesh((n_devices // mp, mp), devices=devs)
+    mesh_shape = (n_devices // mp, mp)
 
-    dims = ModelDims(
-        n_mels=80,
-        n_audio_ctx=1500,
-        n_audio_state=128,
-        n_audio_head=4,
-        n_audio_layer=2,
-        n_vocab=51_865,
-        n_text_ctx=448,
-        n_text_state=128,
-        n_text_head=4,
-        n_text_layer=2,
-    )
-    params = shard_params(
-        init_params(dims, jax.random.PRNGKey(0), dtype=jnp.float32), mesh, dims
-    )
-    filters = jax.device_put(
-        jnp.asarray(mel_filterbank(n_mels=dims.n_mels)),
-        NamedSharding(mesh, P()),
-    )
+    batch = mesh_shape[0]  # one utterance per data-parallel group
+    rng = np.random.default_rng(0)
+    samples = (0.1 * rng.standard_normal((batch, 16_000))).astype(np.float32)
 
-    batch = mesh.shape["data"]  # one utterance per data-parallel group
-    samples = jax.device_put(
-        jax.random.normal(jax.random.PRNGKey(1), (batch, 16_000)) * 0.1,
-        NamedSharding(mesh, P("data")),
+    # Greedy monolith: the headline single-program path under dp+tp.
+    eng = create_engine(
+        EngineType.MONOLITH,
+        EngineConfig(
+            model="dev", language="de", max_new_tokens=4, dtype="float32",
+            mesh_shape=mesh_shape,
+        ),
+        seed=0,
     )
-    prompt = jax.device_put(
-        jnp.tile(jnp.array([[50258, 50261, 50360, 50364]], jnp.int32), (batch, 1)),
-        NamedSharding(mesh, P("data", None)),
+    assert eng.mesh is not None and dict(eng.mesh.shape) == {
+        "data": mesh_shape[0], "model": mesh_shape[1],
+    }
+    results = eng.transcribe_batch(samples)
+    assert len(results) == batch
+    assert all(r.length >= 4 for r in results)
+
+    # Beam engine: exercises the beam-state gathers + shared cross-KV
+    # grouping under the same shardings (BASELINE.json configs[2]).
+    beam_eng = create_engine(
+        EngineType.MONOLITH,
+        EngineConfig(
+            model="dev", language="de", max_new_tokens=4, beam_size=2,
+            dtype="float32", mesh_shape=mesh_shape,
+        ),
+        seed=0,
     )
-
-    enc_sharding = NamedSharding(mesh, P("data", None, None))
-
-    @jax.jit
-    def step(p, s, f, pr):
-        mel = log_mel_spectrogram(s, f, n_mels=dims.n_mels)
-        enc_out = encode(p, mel, dims)
-        enc_out = jax.lax.with_sharding_constraint(enc_out, enc_sharding)
-        tokens, lengths = greedy_decode(
-            p, enc_out, pr, dims, eot=50257, max_new_tokens=4
-        )
-        return tokens, lengths
-
-    tokens, lengths = step(params, samples, filters, prompt)
-    jax.block_until_ready(tokens)
-    assert tokens.shape == (batch, prompt.shape[1] + 4)
-    assert lengths.shape == (batch,)
+    beam_results = beam_eng.transcribe_batch(samples)
+    assert len(beam_results) == batch

@@ -22,49 +22,79 @@ from whisper_tpu.tokenizer.languages import LANGUAGES, lang_code
 
 @dataclasses.dataclass
 class SpecialTokens:
-    """Special-token IDs. Defaults are the English-model values
-    (whisper.h:34-42); ``shifted()`` applies the multilingual transform."""
+    """Special-token IDs, derived from the actual tokenizer layout:
 
-    eot: int = 50256
-    sot: int = 50257
-    translate: int = 50358
-    transcribe: int = 50359
-    prev: int = 50360
-    solm: int = 50361
-    not_: int = 50362  # <|notimestamps|>
-    beg: int = 50363  # first timestamp token <|0.00|>
+        eot, sot, <languages ×N>, translate, transcribe, startoflm,
+        startofprev, nospeech, notimestamps, <timestamps…>
 
-    def shifted(self) -> "SpecialTokens":
-        """Multilingual shift: every special ID moves up by 1
-        (reference transform_vocab_multilingual, whisper.cpp:218-226 —
-        note the reference does NOT shift translate/transcribe there, but
-        then uses unshifted 50359 in the prompt; the true multilingual
-        model has translate=50358+1=50359, transcribe=50360, sot=50258.
-        We model the *actual* multilingual token table and keep a
-        ``reference_quirks`` switch in the decode layer for bit-parity
-        with the reference's hardcoded prompt [50258, lang, 50359, 50363]
-        at whisper.cpp:331-339.)"""
-        return SpecialTokens(
-            eot=self.eot + 1,
-            sot=self.sot + 1,
-            translate=self.translate + 1,
-            transcribe=self.transcribe + 1,
-            prev=self.prev + 1,
-            solm=self.solm + 1,
-            not_=self.not_ + 1,
-            beg=self.beg + 1,
-        )
+    The reference instead hardcodes an English table and a "+1 shift"
+    multilingual transform (whisper.h:34-42, whisper.cpp:218-226) which is
+    WRONG about the task tokens: the real multilingual vocab has
+    translate=50358/transcribe=50359, and the reference's own decoder prompt
+    hardcodes the (correct) 50359 rather than its shifted table value
+    (whisper.cpp:331-339). large-v3 adds a 100th language (<|yue|>), pushing
+    every token after the language block up by one (n_vocab 51866) — the
+    derived form below covers all three layouts; the constructor is
+    :func:`special_tokens_for`.
+    """
+
+    eot: int
+    sot: int
+    translate: int
+    transcribe: int
+    solm: int  # <|startoflm|>
+    prev: int  # <|startofprev|>
+    nospeech: int  # <|nospeech|>
+    not_: int  # <|notimestamps|>
+    beg: int  # first timestamp token <|0.00|>
+    num_languages: int
 
     def lang_token(self, language_id: int) -> int:
         """Language token = sot + 1 + index in the language table
         (reference: ``50259 + language_id`` with sot=50258,
         whisper.cpp:326-329)."""
+        if language_id >= self.num_languages:
+            raise ValueError(
+                f"language id {language_id} outside this model's "
+                f"{self.num_languages}-language table (yue needs large-v3)"
+            )
         return self.sot + 1 + language_id
 
 
-def special_tokens_for(multilingual: bool) -> SpecialTokens:
-    st = SpecialTokens()
-    return st.shifted() if multilingual else st
+def special_tokens_for(
+    multilingual: bool, num_languages: int = 99
+) -> SpecialTokens:
+    """Token table for (multilingual?, #languages). Verified layouts:
+
+    * English .en (99 langs):  eot 50256, sot 50257, translate 50357,
+      transcribe 50358, solm 50359, prev 50360, nospeech 50361,
+      notimestamps 50362, beg 50363 — n_vocab 51864
+    * multilingual (99):       eot 50257, sot 50258, translate 50358,
+      transcribe 50359, …, notimestamps 50363, beg 50364 — n_vocab 51865
+    * large-v3 (100, +<|yue|>): translate 50359, transcribe 50360, …,
+      notimestamps 50364, beg 50365 — n_vocab 51866
+    """
+    eot = 50257 if multilingual else 50256
+    sot = eot + 1
+    translate = sot + 1 + num_languages
+    return SpecialTokens(
+        eot=eot,
+        sot=sot,
+        translate=translate,
+        transcribe=translate + 1,
+        solm=translate + 2,
+        prev=translate + 3,
+        nospeech=translate + 4,
+        not_=translate + 5,
+        beg=translate + 6,
+        num_languages=num_languages,
+    )
+
+
+def num_languages_for(n_vocab: int) -> int:
+    """Language-table size implied by the vocab size: large-v3's 51866
+    carries the 100th (<|yue|>) language token."""
+    return 100 if n_vocab >= 51_866 else 99
 
 
 class Vocab:
@@ -81,13 +111,16 @@ class Vocab:
         id_to_token: Dict[int, bytes],
         multilingual: bool,
         n_vocab: Optional[int] = None,
+        num_languages: Optional[int] = None,
     ):
         self.multilingual = multilingual
-        self.specials = special_tokens_for(multilingual)
-        self.id_to_token: Dict[int, bytes] = dict(id_to_token)
         self.n_vocab = (
             n_vocab if n_vocab is not None else N_VOCAB_ENGLISH + int(multilingual)
         )
+        if num_languages is None:
+            num_languages = num_languages_for(self.n_vocab)
+        self.specials = special_tokens_for(multilingual, num_languages)
+        self.id_to_token: Dict[int, bytes] = dict(id_to_token)
         self._fill_missing_specials()
         self.token_to_id: Dict[bytes, int] = {
             tok: i for i, tok in self.id_to_token.items()
@@ -99,7 +132,9 @@ class Vocab:
     # reference byte-for-byte there too.
     def _fill_missing_specials(self) -> None:
         st = self.specials
-        expected = N_VOCAB_ENGLISH + int(self.multilingual)
+        # 1501 timestamp tokens <|0.00|>..<|30.00|> follow beg: yields 51864
+        # (.en) / 51865 (multilingual) / 51866 (large-v3) — SURVEY.md §2a.
+        expected = st.beg + 1501
         total = max(self.n_vocab, expected)
         for i in range(total):
             if i in self.id_to_token:
@@ -120,6 +155,10 @@ class Vocab:
                 word = "<|translate|>"
             elif i == st.transcribe:
                 word = "<|transcribe|>"
+            elif i == st.solm:
+                word = "<|startoflm|>"
+            elif i == st.nospeech:
+                word = "<|nospeech|>"
             elif st.sot < i < st.translate:
                 lid = i - (st.sot + 1)
                 if lid < len(LANGUAGES):
@@ -141,11 +180,20 @@ class Vocab:
 
     # --- constructors ------------------------------------------------------
     @classmethod
-    def synthetic(cls, multilingual: bool = False, n_base: int = 256) -> "Vocab":
+    def synthetic(
+        cls,
+        multilingual: bool = False,
+        n_base: int = 256,
+        num_languages: Optional[int] = None,
+    ) -> "Vocab":
         """Small deterministic vocab for tests: base tokens are single bytes,
-        specials synthesized. Not a real BPE vocab."""
+        specials synthesized. Not a real BPE vocab. ``num_languages=100``
+        selects the large-v3 token layout."""
         table = {i: bytes([i]) for i in range(n_base)}
-        return cls(table, multilingual=multilingual, n_vocab=n_base)
+        return cls(
+            table, multilingual=multilingual, n_vocab=n_base,
+            num_languages=num_languages,
+        )
 
     @classmethod
     def from_hf_tokenizer(cls, tokenizer, multilingual: bool) -> "Vocab":
