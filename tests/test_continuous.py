@@ -106,3 +106,70 @@ def test_beam_rejected(engine):
     beam_engine = create_engine(EngineType.ENCDEC, config, seed=0)
     with pytest.raises(ValueError, match="greedy-only"):
         ContinuousTranscriber(beam_engine)
+
+
+# --- disaggregated encode → decode serving -----------------------------------
+
+
+def test_disaggregated_parity_with_static_engine(engine):
+    from whisper_tpu.engine.serving import DisaggregatedTranscriber
+
+    utts = _utterances(7, seed=5)
+    expected = [engine.transcribe(u) for u in utts]
+    with DisaggregatedTranscriber(engine, n_slots=3, prefill_batch=2) as dt:
+        futures = [dt.submit(u) for u in utts]
+        results = [f.result(timeout=180) for f in futures]
+    for exp, got in zip(expected, results):
+        assert got.length == exp.length
+        np.testing.assert_array_equal(
+            got.tokens[: got.length], exp.tokens[: exp.length]
+        )
+        assert got.text == exp.text
+
+
+def test_disaggregated_staggered_arrivals(engine):
+    import time
+
+    from whisper_tpu.engine.serving import DisaggregatedTranscriber
+
+    utts = _utterances(6, seed=9)
+    expected = [engine.transcribe(u) for u in utts]
+    with DisaggregatedTranscriber(engine, n_slots=2, prefill_batch=2) as dt:
+        futures = []
+        for u in utts:
+            futures.append(dt.submit(u))
+            time.sleep(0.05)  # decode loop mid-flight when the next arrives
+        results = [f.result(timeout=180) for f in futures]
+    for exp, got in zip(expected, results):
+        np.testing.assert_array_equal(
+            got.tokens[: got.length], exp.tokens[: exp.length]
+        )
+
+
+def test_disaggregated_two_devices(engine):
+    """Encoder on its own device (params replicated there), decode slots on
+    device 0, packs hop devices at insert — the two-stage pipeline the
+    virtual 8-CPU mesh can exercise for real."""
+    import jax
+
+    from whisper_tpu.engine.serving import DisaggregatedTranscriber
+
+    assert len(jax.devices()) >= 2
+    utts = _utterances(4, seed=11)
+    expected = [engine.transcribe(u) for u in utts]
+    with DisaggregatedTranscriber(
+        engine, n_slots=2, prefill_batch=2, encode_device=jax.devices()[1]
+    ) as dt:
+        results = [f.result(timeout=180) for f in [dt.submit(u) for u in utts]]
+    for exp, got in zip(expected, results):
+        np.testing.assert_array_equal(
+            got.tokens[: got.length], exp.tokens[: exp.length]
+        )
+
+
+def test_disaggregated_error_isolation(engine):
+    from whisper_tpu.engine.serving import DisaggregatedTranscriber
+
+    with DisaggregatedTranscriber(engine, n_slots=2, prefill_batch=1) as dt:
+        good = dt.submit(_utterances(1, seed=2)[0])
+        assert good.result(timeout=180).length >= 2

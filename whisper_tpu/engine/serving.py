@@ -145,22 +145,9 @@ class AsyncTranscriber:
             self.on_status(MSG_DONE)
 
 
-class ContinuousTranscriber:
-    """Continuous-batching serving front-end (decode/continuous.py).
-
-    Where :class:`AsyncTranscriber` runs whole batches in lock-step (a batch
-    is as slow as its slowest decode, and arrivals wait for the batch to
-    drain), this keeps a fixed pool of decode *slots* advancing every step:
-    a finished slot is harvested and refilled while its neighbors keep
-    decoding. Throughput under mixed decode lengths approaches
-    active-slots × tokens/s instead of being gated by stragglers.
-
-    Greedy decode only (beam hypotheses would multiply the slot axis);
-    suppress/timestamp rules and language autodetection are supported —
-    results are token-identical to ``engine.transcribe`` for every utterance
-    regardless of arrival order or slot reuse (pinned by
-    tests/test_continuous.py).
-    """
+class _ContinuousBase:
+    """Shared machinery for slot-pool serving (decode/continuous.py):
+    compiled prefill/step/insert programs, slot bookkeeping, harvest."""
 
     def __init__(
         self,
@@ -169,6 +156,7 @@ class ContinuousTranscriber:
         prefill_batch: int = 2,
         sync_every: int = 4,
         omit_special_tokens: bool = True,
+        encode_device=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -184,6 +172,19 @@ class ContinuousTranscriber:
         self.prefill_batch = prefill_batch
         self.sync_every = max(1, sync_every)
         self.omit_special_tokens = omit_special_tokens
+        self._encode_device = encode_device
+        # Encoder-side params: a replica on the encode device when encode is
+        # disaggregated onto its own chip, else the shared tree.
+        if encode_device is not None:
+            self._encode_params = jax.device_put(
+                engine.assets.params, encode_device
+            )
+            self._encode_filters = jax.device_put(
+                engine._filters, encode_device
+            )
+        else:
+            self._encode_params = engine.assets.params
+            self._encode_filters = engine._filters
 
         dims = engine.dims
         eot = engine.vocab.specials.eot
@@ -232,69 +233,24 @@ class ContinuousTranscriber:
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._slot_futures: List[Optional[Future]] = [None] * n_slots
         self._closed = False
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
 
-    # --- public API --------------------------------------------------------
-    def submit(self, samples: np.ndarray) -> Future:
-        if self._closed:
-            raise RuntimeError("transcriber is closed")
-        fut: Future = Future()
-        self._queue.put(_Request(np.asarray(samples, np.float32), fut))
-        return fut
-
-    def transcribe(self, samples: np.ndarray) -> TranscriptionResult:
-        return self.submit(samples).result()
-
-    def close(self, wait: bool = True) -> None:
-        if not self._closed:
-            self._closed = True
-            self._queue.put(None)
-            if wait:
-                self._thread.join()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
-
-    # --- worker ------------------------------------------------------------
-    def _free_slots(self) -> List[int]:
-        return [i for i, f in enumerate(self._slot_futures) if f is None]
-
-    def _admit(self, requests: List[_Request]) -> List[_Request]:
-        """Prefill utterances in fixed-size groups (one compiled prefill
-        program) and insert them into free slots while any remain. Returns
-        the requests that did not fit (stay pending)."""
+    def _run_prefill(self, group: List[_Request]):
+        """One fixed-shape prefill dispatch for ≤prefill_batch requests,
+        on the encode device when disaggregated."""
+        import jax
         import jax.numpy as jnp
 
-        while requests:
-            free = self._free_slots()
-            if not free:
-                break
-            group = requests[: min(len(free), self.prefill_batch)]
-            requests = requests[len(group):]
-            samples = np.zeros((self.prefill_batch, N_SAMPLES), np.float32)
-            for i, r in enumerate(group):
-                n = min(len(r.samples), N_SAMPLES)
-                samples[i, :n] = r.samples[:n]
-            try:
-                pack = self._prefill(
-                    self.engine.assets.params, jnp.asarray(samples),
-                    self.engine._filters,
-                )
-                for i, r in enumerate(group):
-                    slot = free[i]
-                    self._state = self._insert(
-                        self._state, jnp.int32(slot), pack, i
-                    )
-                    self._slot_futures[slot] = r.future
-            except Exception as e:  # noqa: BLE001 — per-group error isolation
-                for r in group:
-                    if not r.future.done():
-                        r.future.set_exception(e)
-        return requests
+        samples = np.zeros((self.prefill_batch, N_SAMPLES), np.float32)
+        for i, r in enumerate(group):
+            n = min(len(r.samples), N_SAMPLES)
+            samples[i, :n] = r.samples[:n]
+        x = jnp.asarray(samples)
+        if self._encode_device is not None:
+            x = jax.device_put(x, self._encode_device)
+        return self._prefill(self._encode_params, x, self._encode_filters)
+
+    def _free_slots(self) -> List[int]:
+        return [i for i, f in enumerate(self._slot_futures) if f is None]
 
     def _harvest(self) -> None:
         """Resolve futures of slots that stopped decoding; free their slots."""
@@ -323,6 +279,83 @@ class ContinuousTranscriber:
             except Exception as e:  # noqa: BLE001
                 if not fut.done():
                     fut.set_exception(e)
+
+    # --- public API --------------------------------------------------------
+    def submit(self, samples: np.ndarray) -> Future:
+        if self._closed:
+            raise RuntimeError("transcriber is closed")
+        fut: Future = Future()
+        self._queue.put(_Request(np.asarray(samples, np.float32), fut))
+        return fut
+
+    def transcribe(self, samples: np.ndarray) -> TranscriptionResult:
+        return self.submit(samples).result()
+
+    def close(self, wait: bool = True) -> None:
+        raise NotImplementedError
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class ContinuousTranscriber(_ContinuousBase):
+    """Continuous-batching serving front-end (decode/continuous.py).
+
+    Where :class:`AsyncTranscriber` runs whole batches in lock-step (a batch
+    is as slow as its slowest decode, and arrivals wait for the batch to
+    drain), this keeps a fixed pool of decode *slots* advancing every step:
+    a finished slot is harvested and refilled while its neighbors keep
+    decoding. Throughput under mixed decode lengths approaches
+    active-slots × tokens/s instead of being gated by stragglers.
+
+    Greedy decode only (beam hypotheses would multiply the slot axis);
+    suppress/timestamp rules and language autodetection are supported —
+    results are token-identical to ``engine.transcribe`` for every utterance
+    regardless of arrival order or slot reuse (pinned by
+    tests/test_continuous.py).
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def close(self, wait: bool = True) -> None:
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            if wait:
+                self._thread.join()
+
+    # --- worker ------------------------------------------------------------
+    def _admit(self, requests: List[_Request]) -> List[_Request]:
+        """Prefill utterances in fixed-size groups (one compiled prefill
+        program) and insert them into free slots while any remain. Returns
+        the requests that did not fit (stay pending)."""
+        import jax.numpy as jnp
+
+        while requests:
+            free = self._free_slots()
+            if not free:
+                break
+            group = requests[: min(len(free), self.prefill_batch)]
+            requests = requests[len(group):]
+            try:
+                pack = self._run_prefill(group)
+                for i, r in enumerate(group):
+                    slot = free[i]
+                    self._state = self._insert(
+                        self._state, jnp.int32(slot), pack, i
+                    )
+                    self._slot_futures[slot] = r.future
+            except Exception as e:  # noqa: BLE001 — per-group error isolation
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+        return requests
 
     def _worker(self) -> None:
         pending: List[_Request] = []
@@ -356,6 +389,148 @@ class ContinuousTranscriber:
                 pass
             if pending:
                 pending = self._admit(pending)
+            if any(f is not None for f in self._slot_futures):
+                self._state = self._step_n(
+                    self.engine.assets.params, self._state
+                )
+                self._harvest()
+
+
+class DisaggregatedTranscriber(_ContinuousBase):
+    """Disaggregated encode→decode serving: prefill (mel → encoder →
+    cross-KV + prompt pass) and the continuous decode loop run on SEPARATE
+    host threads, with independently chosen batch sizes — ``prefill_batch``
+    utterances per encode dispatch feeding ``n_slots`` decode slots. This is
+    the rationale the EncDec split exists for ("encoder batch ≠ decoder
+    batch", engine/engine.py; reference whisper.cpp:740-776 runs the two
+    Atoms strictly back-to-back).
+
+    Compared to :class:`ContinuousTranscriber`, whose single worker stalls
+    the whole slot pool for the duration of every prefill it admits, the
+    decode thread here never waits on encode: JAX dispatch is async, so both
+    threads keep the device queue fed and the next group's encode overlaps
+    the current slots' decode steps. With ``encode_device`` set, prefill runs
+    on its own chip (encoder params replicated there once) and finished packs
+    hop devices at insert — true two-stage pipeline parallelism.
+
+    Token-identical to ``engine.transcribe`` per utterance (same prefill
+    program, same step rule — pinned by tests/test_continuous.py); the
+    throughput comparison lives in tools/bench_serving.py.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        # Ready queue: prefilled packs waiting for free slots, in arrival
+        # order. Bounded so encode cannot run unboundedly ahead of decode
+        # (each pack pins prefill_batch × (cache + cross-KV) of device HBM).
+        self._ready: "queue.Queue" = queue.Queue(maxsize=4)
+        self._enc_thread = threading.Thread(
+            target=self._encode_worker, daemon=True
+        )
+        self._dec_thread = threading.Thread(
+            target=self._decode_worker, daemon=True
+        )
+        self._enc_thread.start()
+        self._dec_thread.start()
+
+    def close(self, wait: bool = True) -> None:
+        if not self._closed:
+            self._closed = True
+            self._queue.put(None)
+            if wait:
+                self._enc_thread.join()
+                self._dec_thread.join()
+
+    # --- encode side --------------------------------------------------------
+    def _encode_worker(self) -> None:
+        """Batch arrivals into fixed-size prefill groups; push packs."""
+        while True:
+            req = self._queue.get()
+            if req is None:
+                self._ready.put(None)  # decode thread drains then exits
+                return
+            group = [req]
+            # Fill the group opportunistically (encode shape is static, so a
+            # partial group costs the same dispatch).
+            while len(group) < self.prefill_batch:
+                try:
+                    nxt = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._queue.put(None)  # re-post; current group first
+                    break
+                group.append(nxt)
+            try:
+                pack = self._run_prefill(group)
+            except Exception as e:  # noqa: BLE001 — per-group isolation
+                for r in group:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+                continue
+            self._ready.put((group, pack))
+
+    # --- decode side --------------------------------------------------------
+    def _insert_ready(self, block: bool, timeout: Optional[float]) -> bool:
+        """Move prefilled utterances into free slots. Returns False once the
+        encode side has signalled shutdown and everything is inserted."""
+        import jax
+        import jax.numpy as jnp
+
+        while True:
+            if self._pending_pack is None:
+                try:
+                    item = self._ready.get(block=block, timeout=timeout)
+                except queue.Empty:
+                    return True
+                if item is None:
+                    return False  # encode side done
+                group, pack = item
+                if self._encode_device is not None:
+                    # Pack hops from the encode chip to the decode chip here
+                    # — the pipeline's one inter-stage transfer.
+                    pack = jax.device_put(pack, self._decode_device)
+                self._pending_pack = (group, pack, 0)
+                block = False  # only block for the first item
+            group, pack, row = self._pending_pack
+            free = self._free_slots()
+            if not free:
+                return True  # slots full; retry after stepping/harvesting
+            while row < len(group) and free:
+                slot = free.pop(0)
+                self._state = self._insert(
+                    self._state, jnp.int32(slot), pack, row
+                )
+                self._slot_futures[slot] = group[row].future
+                row += 1
+            if row < len(group):
+                self._pending_pack = (group, pack, row)
+                return True
+            self._pending_pack = None
+
+    def _decode_worker(self) -> None:
+        import jax
+
+        self._pending_pack = None
+        self._decode_device = jax.devices()[0]
+        draining = False
+        while True:
+            busy = any(f is not None for f in self._slot_futures) or (
+                self._pending_pack is not None
+            )
+            if not draining:
+                # Idle → block for work; busy → poll without blocking.
+                alive = self._insert_ready(block=not busy, timeout=0.25)
+                if not alive:
+                    draining = True
+            else:
+                # Keep refilling freed slots from the pending pack while the
+                # pool drains.
+                self._insert_ready(block=False, timeout=None)
+            if draining and self._pending_pack is None and all(
+                f is None for f in self._slot_futures
+            ):
+                return
             if any(f is not None for f in self._slot_futures):
                 self._state = self._step_n(
                     self.engine.assets.params, self._state
