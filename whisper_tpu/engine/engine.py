@@ -158,10 +158,12 @@ class Engine:
         )
         self._filters = jnp.asarray(assets.mel_filters)
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
+            from jax.sharding import PartitionSpec
 
-            self._filters = jax.device_put(
-                self._filters, NamedSharding(self.mesh, PartitionSpec())
+            from whisper_tpu.parallel.sharding import put_with_sharding
+
+            self._filters = put_with_sharding(
+                self._filters, self.mesh, PartitionSpec()
             )
         if config.suppress_blank or config.suppress_nonspeech or config.timestamps:
             self._rules = make_rules(

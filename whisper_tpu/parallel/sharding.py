@@ -111,8 +111,26 @@ def shard_params(params: Params, mesh: Mesh, dims: ModelDims) -> Params:
     if is_quantized(params):
         specs = quantize_pspecs(specs, params)
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: put_with_sharding(x, mesh, s),
         params,
         specs,
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def put_with_sharding(x, mesh: Mesh, spec: P):
+    """Place one host-replicated array onto a (possibly multi-process) mesh.
+
+    ``jax.device_put`` cannot target non-addressable devices; under
+    jax.distributed each process holds the same full host copy (same seed /
+    same checkpoint), so per-device shards are cut locally with
+    ``make_array_from_callback`` — no cross-host transfer."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        import numpy as np  # noqa: F811 — local to keep module surface lean
+
+        host = np.asarray(x)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+    return jax.device_put(x, sharding)
