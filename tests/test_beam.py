@@ -327,3 +327,22 @@ def test_beam_cross_kv_not_replicated():
         beam_size=k, cross_kv=cross,
     )
     assert tokens.shape == (b, prompt.shape[1] + 4)
+
+
+def test_topk_wide_matches_lax_topk():
+    from whisper_tpu.decode.beam import topk_wide
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((7, 1000)).astype(np.float32))
+    want_v, want_i = jax.lax.top_k(x, 6)
+    got_v, got_i = topk_wide(x, 6)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_topk_wide_tie_order():
+    from whisper_tpu.decode.beam import topk_wide
+
+    x = jnp.asarray([[1.0, 3.0, 3.0, 3.0, 0.0]])
+    _, idx = topk_wide(x, 3)
+    assert idx.tolist() == [[1, 2, 3]]  # equal values: lowest index first

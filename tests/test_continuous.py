@@ -173,3 +173,12 @@ def test_disaggregated_error_isolation(engine):
     with DisaggregatedTranscriber(engine, n_slots=2, prefill_batch=1) as dt:
         good = dt.submit(_utterances(1, seed=2)[0])
         assert good.result(timeout=180).length >= 2
+
+
+def test_occupancy_metric(engine):
+    with ContinuousTranscriber(engine, n_slots=4, prefill_batch=2) as ct:
+        [f.result(timeout=120) for f in [ct.submit(u) for u in _utterances(2)]]
+        occ = ct.occupancy
+    assert 0.0 < occ <= 1.0
+    # 2 utterances in a 4-slot pool can never exceed half occupancy.
+    assert occ <= 0.5 + 1e-9

@@ -27,7 +27,8 @@ from whisper_tpu.models.params import init_params
 MODEL = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 16
 STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 31
-KV_DTYPE = jnp.float8_e4m3fn
+_kv = __import__("os").environ.get("PROFILE_KV", "float8_e4m3fn")
+KV_DTYPE = None if _kv in ("", "none") else jnp.dtype(_kv)
 
 dims = MODEL_DIMS[MODEL]
 params = init_params(dims, jax.random.PRNGKey(0), dtype=jnp.bfloat16)

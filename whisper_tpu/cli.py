@@ -414,7 +414,10 @@ def _cmd_eval(args) -> int:
 def main(argv=None) -> int:
     _apply_platform_override()
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except SystemExit as e:  # _engine_from_args signals usage errors
+        return int(e.code or 0)
 
 
 if __name__ == "__main__":

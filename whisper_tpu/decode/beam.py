@@ -64,6 +64,36 @@ from whisper_tpu.models.params import Params
 NEG_INF = -1e30
 
 
+def topk_wide(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k over a WIDE minor axis (the 51k-token vocab) as k
+    argmax+mask passes instead of ``lax.top_k``.
+
+    XLA's top_k on TPU lowers to a sort-based reduction over the full axis —
+    measured at tens of ms per decode step for [B*K, 51866], which dominated
+    the whole beam step. k is tiny (beam_size+1), so k masked argmax
+    reductions are ~k linear passes over the logits (≈100 MB/step at k=6,
+    negligible) and exact. Tie order matches lax.top_k: equal values surface
+    lowest-index first (argmax picks the lowest index; masking removes it
+    before the next pass).
+
+    Returns (values [..., k], indices [..., k] int32).
+    """
+    vals, idxs = [], []
+    cur = x
+    for _ in range(k):
+        i = jnp.argmax(cur, axis=-1).astype(jnp.int32)
+        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i)
+        cur = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, cur.shape, cur.ndim - 1)
+            == i[..., None],
+            NEG_INF,
+            cur,
+        )
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 class FinishedSet(NamedTuple):
     """Per-sample finished hypotheses, K fixed slots each."""
 
@@ -228,7 +258,7 @@ def beam_decode(
 
     # First expansion: openai's dict dedups the K identical beams down to one
     # candidate set of the top (K+1) tokens; the same selection walk applies.
-    c0_scores, c0_tokens = jax.lax.top_k(lp0, k + 1)  # [B, K+1]
+    c0_scores, c0_tokens = topk_wide(lp0, k + 1)  # [B, K+1]
     sel0 = select_candidates(c0_scores, c0_tokens == eot, k)
 
     act_tok0 = jnp.take_along_axis(c0_tokens, sel0.act_idx, axis=1)  # [B, K]
@@ -266,8 +296,10 @@ def beam_decode(
         lp = logprobs_of(logits, s.tokens, s.pos)  # [B*K, V]
 
         # openai's candidate pool: top (K+1) per beam (≥ K non-EOT overall),
-        # flattened beam-major → dict insertion order.
-        top_lp, top_tok = jax.lax.top_k(lp, k + 1)  # [B*K, K+1]
+        # flattened beam-major → dict insertion order. topk_wide: k argmax
+        # passes, NOT lax.top_k (sort-based — dominated the step, see its
+        # docstring).
+        top_lp, top_tok = topk_wide(lp, k + 1)  # [B*K, K+1]
         cand_scores = (s.scores[:, None] + top_lp).reshape(b, k * (k + 1))
         cand_tokens = top_tok.reshape(b, k * (k + 1))
         cand_src = (

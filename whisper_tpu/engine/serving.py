@@ -233,6 +233,28 @@ class _ContinuousBase:
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._slot_futures: List[Optional[Future]] = [None] * n_slots
         self._closed = False
+        # Occupancy accounting (host-side, sync_every granularity): inactive
+        # slots still burn a full decoder step (static shapes — see
+        # decode/continuous.py decode_step_slots), so sustained occupancy
+        # below ~50% means a smaller pool would be cheaper. Exposed for
+        # operators; the step program itself never changes shape.
+        self._step_dispatches = 0
+        self._occupied_slot_steps = 0
+
+    @property
+    def occupancy(self) -> float:
+        """Mean fraction of slots occupied across step dispatches (1.0 =
+        every step fully utilized; low values quantify the compute the
+        static-shape pool burns on empty slots)."""
+        total = self._step_dispatches * self.n_slots
+        return self._occupied_slot_steps / total if total else 0.0
+
+    def _dispatch_step(self):
+        self._step_dispatches += 1
+        self._occupied_slot_steps += sum(
+            1 for f in self._slot_futures if f is not None
+        )
+        return self._step_n(self.engine.assets.params, self._state)
 
     def _run_prefill(self, group: List[_Request]):
         """One fixed-shape prefill dispatch for ≤prefill_batch requests,
@@ -369,9 +391,7 @@ class ContinuousTranscriber(_ContinuousBase):
                         f is not None for f in self._slot_futures
                     ):
                         pending = self._admit(pending)
-                        self._state = self._step_n(
-                            self.engine.assets.params, self._state
-                        )
+                        self._state = self._dispatch_step()
                         self._harvest()
                     return
                 pending.append(req)
@@ -390,9 +410,7 @@ class ContinuousTranscriber(_ContinuousBase):
             if pending:
                 pending = self._admit(pending)
             if any(f is not None for f in self._slot_futures):
-                self._state = self._step_n(
-                    self.engine.assets.params, self._state
-                )
+                self._state = self._dispatch_step()
                 self._harvest()
 
 
@@ -532,9 +550,7 @@ class DisaggregatedTranscriber(_ContinuousBase):
             ):
                 return
             if any(f is not None for f in self._slot_futures):
-                self._state = self._step_n(
-                    self.engine.assets.params, self._state
-                )
+                self._state = self._dispatch_step()
                 self._harvest()
 
 
