@@ -1,0 +1,217 @@
+"""Micro-ablation of one decode step's components at exact large-v3 shapes:
+times each HBM stream in isolation (cross-KV attention, self-cache
+attention+update, weight matmuls, unembed, selection, beam cache reorder) so
+the gap between the measured step and the analytic roofline can be
+attributed.
+
+Measurement method: every component runs ITERS times inside ONE jit program
+via lax.fori_loop with a data dependence between iterations, and the program
+returns a scalar reduction that is fetched to host. This is mandatory on the
+tunneled TPU backend: per-dispatch RPC latency is ~25 ms and
+block_until_ready under-blocks, so single-dispatch timings measure the
+tunnel, not the chip.
+
+Usage: python tools/ablate_step.py [model] [batch] [beam]
+Env:   ABLATE_KV=bfloat16|float8_e4m3fn (cache dtypes, default bfloat16)
+       ABLATE_ITERS=16
+"""
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.config import MODEL_DIMS
+from whisper_tpu.models import layers
+from whisper_tpu.models.params import init_params
+
+MODEL = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
+BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+BEAM = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+KV = jnp.dtype(os.environ.get("ABLATE_KV", "bfloat16"))
+ITERS = int(os.environ.get("ABLATE_ITERS", "16"))
+
+dims = MODEL_DIMS[MODEL]
+L, H = dims.n_text_layer, dims.n_text_head
+D = dims.n_text_state
+DH = D // H
+TK = dims.n_audio_ctx
+CTX = 228
+BK = BATCH * BEAM
+key = jax.random.PRNGKey(0)
+
+
+def timed(name, init, step, per_iter_gb=None, repeats=3):
+    """step(carry, i) -> carry (same pytree); device-loops ITERS times."""
+
+    @jax.jit
+    def run(c):
+        c = jax.lax.fori_loop(0, ITERS, lambda i, c: step(c, i), c)
+        return sum(
+            l.astype(jnp.float32).ravel()[0] for l in jax.tree.leaves(c)
+        )
+
+    float(run(init))  # compile + sync via scalar host transfer
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(init))
+        ts.append(time.perf_counter() - t0)
+    per_iter_ms = min(ts) / ITERS * 1e3
+    bw = (
+        f"  ({per_iter_gb / (min(ts) / ITERS):6.0f} GB/s)"
+        if per_iter_gb
+        else ""
+    )
+    print(f"{name:40s} {per_iter_ms:9.3f} ms/iter{bw}", flush=True)
+
+
+print(f"model={MODEL} batch={BATCH} beam={BEAM} kv={KV} iters={ITERS}")
+
+# --- cross-attention stream: q [BK,1,H,DH] vs kT/vT [L,B,H,DH,TK] -----------
+xk = jax.random.normal(key, (L, BATCH, H, DH, TK), jnp.bfloat16).astype(KV)
+xv = jax.random.normal(key, (L, BATCH, H, DH, TK), jnp.bfloat16).astype(KV)
+q0 = jax.random.normal(key, (BK, 1, H, DH), jnp.bfloat16)
+cross_gb = 2 * np.prod(xk.shape) * xk.dtype.itemsize / 1e9
+
+
+def cross_step(qc, i):
+    def one(h, xs):
+        k_l, v_l = xs
+        if BEAM > 1:
+            qg = h.reshape(BATCH, BEAM, H, DH)
+            o = layers.cross_attention_T(qg, k_l, v_l).reshape(BK, 1, H, DH)
+        else:
+            o = layers.cross_attention_T(h, k_l, v_l)
+        return o.astype(h.dtype), None
+
+    out, _ = jax.lax.scan(one, qc, (xk, xv))
+    return out
+
+
+timed(f"cross-attn x{L} (read {cross_gb:.2f} GB)", q0, cross_step,
+      per_iter_gb=cross_gb)
+
+# --- self-attention cache stream + update -----------------------------------
+ck = jax.random.normal(key, (L, BK, CTX, H, DH), jnp.bfloat16).astype(KV)
+cv = jax.random.normal(key, (L, BK, CTX, H, DH), jnp.bfloat16).astype(KV)
+cache_gb = 2 * np.prod(ck.shape) * ck.dtype.itemsize / 1e9
+mask = jnp.zeros((1, CTX), jnp.bfloat16)
+
+
+def self_step(qc, i):
+    def one(h, xs):
+        k_l, v_l = xs
+        k_l = jax.lax.dynamic_update_slice_in_dim(
+            k_l, h.astype(k_l.dtype), 100, axis=1
+        )
+        v_l = jax.lax.dynamic_update_slice_in_dim(
+            v_l, h.astype(v_l.dtype), 100, axis=1
+        )
+        o = layers.qkv_attention(h, k_l, v_l, mask)
+        return o.astype(h.dtype), None
+
+    out, _ = jax.lax.scan(one, qc, (ck, cv))
+    return out
+
+
+timed(f"self-attn+update x{L} (read {cache_gb:.2f} GB)", q0, self_step,
+      per_iter_gb=cache_gb)
+
+# --- weight matmul stream ----------------------------------------------------
+params = init_params(dims, key, dtype=jnp.bfloat16)
+dec_blocks = params["decoder"]["blocks"]
+dec_gb = sum(
+    np.prod(x.shape) * x.dtype.itemsize for x in jax.tree.leaves(dec_blocks)
+) / 1e9
+x0 = jax.random.normal(key, (BK, 1, D), jnp.bfloat16)
+
+
+def weights_step(xc, i):
+    def one(h, bp):
+        h = layers.linear(bp["attn"]["q"], h)
+        h = layers.linear(bp["attn"]["k"], h)
+        h = layers.linear(bp["attn"]["v"], h)
+        h = layers.linear(bp["attn"]["o"], h)
+        h = layers.linear(bp["cross"]["q"], h)
+        h = layers.linear(bp["cross"]["o"], h)
+        h = layers.mlp(bp["mlp"], h)
+        return jnp.tanh(h).astype(xc.dtype), None
+
+    out, _ = jax.lax.scan(one, xc, dec_blocks)
+    return out
+
+
+timed(f"weight matmuls x{L} ({dec_gb:.2f} GB)", x0, weights_step,
+      per_iter_gb=dec_gb)
+
+# --- unembed ------------------------------------------------------------------
+emb = params["decoder"]["tok_emb"]
+emb_gb = np.prod(emb.shape) * emb.dtype.itemsize / 1e9
+u0 = jax.random.normal(key, (BK, D), jnp.bfloat16)
+
+
+def unembed_step(xc, i):
+    lg = layers.unembed(emb, xc)
+    return jnp.tanh(lg[:, :D]).astype(xc.dtype)
+
+
+timed(f"unembed ({emb_gb:.2f} GB)", u0, unembed_step, per_iter_gb=emb_gb)
+
+# --- selection over the vocab --------------------------------------------------
+lg0 = jax.random.normal(key, (BK, dims.n_vocab), jnp.float32)
+from whisper_tpu.decode.greedy import argmax_last  # noqa: E402
+
+
+def argmax_step(lg, i):
+    idx = argmax_last(lg)
+    return lg.at[:, 0].add(1e-9 * jnp.sum(idx).astype(jnp.float32))
+
+
+timed("argmax_last", lg0, argmax_step)
+
+
+def softmax_step(lg, i):
+    lp = jax.nn.log_softmax(lg, axis=-1)
+    return lg.at[:, 0].add(1e-9 * lp[0, 0])
+
+
+timed("log_softmax", lg0, softmax_step)
+
+if BEAM > 1:
+    from whisper_tpu.decode.beam import reorder_cache, topk_wide  # noqa: E402
+
+    def topk_step(lg, i):
+        vals, idx = topk_wide(lg, BEAM + 1)
+        return lg.at[:, 0].add(1e-9 * jnp.sum(idx).astype(jnp.float32))
+
+    timed(f"topk_wide(k={BEAM + 1})", lg0, topk_step)
+
+    def laxtopk_step(lg, i):
+        vals, idx = jax.lax.top_k(lg, BEAM + 1)
+        return lg.at[:, 0].add(1e-9 * jnp.sum(idx).astype(jnp.float32))
+
+    timed(f"lax.top_k(k={BEAM + 1})", lg0, laxtopk_step)
+
+    cache0 = {"k": ck, "v": cv}
+    rot = (jnp.arange(BK, dtype=jnp.int32) + 1) % BK
+
+    def take_step(c, i):
+        return {n: jnp.take(v, rot, axis=1) for n, v in c.items()}
+
+    timed(f"cache reorder: jnp.take (r+w {2 * cache_gb:.2f} GB)", cache0,
+          take_step, per_iter_gb=2 * cache_gb)
+
+    def onehot_step(c, i):
+        return reorder_cache(c, rot, BK)
+
+    timed("cache reorder: one-hot matmul", cache0, onehot_step,
+          per_iter_gb=2 * cache_gb)

@@ -6,6 +6,12 @@ Usage: python tools/cost_analysis.py [model] [batch] [beam]
 Env:   COST_KV=float8_e4m3fn|bfloat16|none   COST_QUANT=int8|none
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 import sys
 

@@ -5,6 +5,12 @@ prefill, N decode steps) so optimization effort lands where the time is.
 Usage: python tools/profile_stages.py [model] [batch] [steps]
 """
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 import time
 

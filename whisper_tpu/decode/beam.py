@@ -63,6 +63,17 @@ from whisper_tpu.models.params import Params
 
 NEG_INF = -1e30
 
+# Perf-attribution knobs (comma list): "reorder" skips the cache reshuffle,
+# "topk" replaces the vocab top-k with a head slice, "fin" skips finished-set
+# insertion. Each produces WRONG transcriptions — they exist only to
+# attribute beam-step time on hardware where per-op profiling is unavailable
+# (the tunneled single-chip dev setup). Never set in production.
+import os as _os
+
+_ABLATE = set(
+    filter(None, _os.environ.get("WHISPER_TPU_BEAM_ABLATE", "").split(","))
+)
+
 
 def topk_wide(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a WIDE minor axis (the 51k-token vocab) as k
@@ -109,6 +120,32 @@ class BeamState(NamedTuple):
     scores: jnp.ndarray  # [B*K] active sum-logprobs
     cache: KVCache  # self-attention cache [L, B*K, ctx, H, Dh]
     fin: FinishedSet
+
+
+def reorder_cache(cache: KVCache, gather_idx: jnp.ndarray, bk: int) -> KVCache:
+    """Beam-reshuffle the self-attention cache [L, B*K, ctx, H, Dh] with a
+    one-hot MATMUL instead of a gather.
+
+    ``jnp.take`` along the second axis lowers to an XLA gather that TPU
+    executes as per-index dynamic slices — measured ~90 ms/step on large-v3
+    beam=5 (the entire beam slowdown). As a [BK, BK] one-hot contraction the
+    reshuffle streams the cache once through the MXU at memory bandwidth.
+    Exact: each one-hot row has a single 1.0, so every output element is
+    one product x*1 and a sum over zeros; sub-byte caches round-trip through
+    bf16 losslessly (e4m3/e5m2 ⊂ bf16).
+    """
+    dtype = cache["k"].dtype
+    compute = jnp.bfloat16 if dtype.itemsize == 1 else dtype
+    perm = jax.nn.one_hot(gather_idx, bk, dtype=compute)  # [BK(new), BK(old)]
+
+    def apply(x):
+        y = jnp.einsum(
+            "nj,ljthd->lnthd", perm, x.astype(compute),
+            preferred_element_type=compute,
+        )
+        return y.astype(dtype)
+
+    return {"k": apply(cache["k"]), "v": apply(cache["v"])}
 
 
 class Selection(NamedTuple):
@@ -299,7 +336,12 @@ def beam_decode(
         # flattened beam-major → dict insertion order. topk_wide: k argmax
         # passes, NOT lax.top_k (sort-based — dominated the step, see its
         # docstring).
-        top_lp, top_tok = topk_wide(lp, k + 1)  # [B*K, K+1]
+        if "topk" in _ABLATE:  # perf attribution only — WRONG results
+            top_lp, top_tok = lp[:, : k + 1], jnp.tile(
+                jnp.arange(k + 1, dtype=jnp.int32)[None], (bk, 1)
+            )
+        else:
+            top_lp, top_tok = topk_wide(lp, k + 1)  # [B*K, K+1]
         cand_scores = (s.scores[:, None] + top_lp).reshape(b, k * (k + 1))
         cand_tokens = top_tok.reshape(b, k * (k + 1))
         cand_src = (
@@ -313,14 +355,19 @@ def beam_decode(
         eot_src = jnp.take_along_axis(cand_src, sel.eot_idx, axis=1)  # [B, K]
         base = jax.lax.broadcasted_iota(jnp.int32, (b, k), 0) * k
         eot_rows = (base + eot_src).reshape(bk)
-        eot_tokens = jnp.take(s.tokens, eot_rows, axis=0).reshape(b, k, total_len)
-        fin = _insert_finished(
-            s.fin,
-            eot_tokens,
-            sel.eot_scores,
-            jnp.full((b, k), s.pos + 1, jnp.int32),
-            sel.eot_valid,
-        )
+        if "fin" in _ABLATE:  # perf attribution only — WRONG results
+            fin = s.fin
+        else:
+            eot_tokens = jnp.take(s.tokens, eot_rows, axis=0).reshape(
+                b, k, total_len
+            )
+            fin = _insert_finished(
+                s.fin,
+                eot_tokens,
+                sel.eot_scores,
+                jnp.full((b, k), s.pos + 1, jnp.int32),
+                sel.eot_valid,
+            )
 
         # --- continuations: gather token buffers + self-cache by source beam,
         # write the chosen token ---
@@ -331,10 +378,8 @@ def beam_decode(
         tokens = jax.lax.dynamic_update_index_in_dim(
             tokens, act_tok.reshape(bk), s.pos, axis=1
         )
-        cache = {
-            "k": jnp.take(cache["k"], act_rows, axis=1),
-            "v": jnp.take(cache["v"], act_rows, axis=1),
-        }
+        if "reorder" not in _ABLATE:  # ablation: perf attribution only
+            cache = reorder_cache(cache, act_rows, bk)
         return BeamState(
             s.pos + 1, tokens, sel.act_scores.reshape(bk), cache, fin
         )
