@@ -86,9 +86,15 @@ def dryrun_multichip(n_devices: int) -> None:
         ),
         seed=0,
     )
-    assert eng.mesh is not None and dict(eng.mesh.shape) == {
-        "data": mesh_shape[0], "model": mesh_shape[1],
-    }
+    if n_devices > 1:
+        assert eng.mesh is not None and dict(eng.mesh.shape) == {
+            "data": mesh_shape[0], "model": mesh_shape[1],
+        }
+    else:
+        # A (1, 1) mesh is the degenerate single-chip case: the engine skips
+        # the mesh machinery entirely (engine.py gates on prod(mesh_shape)>1),
+        # which is the correct product behavior — no sharding overhead.
+        assert eng.mesh is None
     results = eng.transcribe_batch(samples)
     assert len(results) == batch
     assert all(r.length >= 4 for r in results)
