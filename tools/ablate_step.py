@@ -49,21 +49,25 @@ BK = BATCH * BEAM
 key = jax.random.PRNGKey(0)
 
 
-def timed(name, init, step, per_iter_gb=None, repeats=3):
-    """step(carry, i) -> carry (same pytree); device-loops ITERS times."""
+def timed(name, init, step, consts=(), per_iter_gb=None, repeats=3):
+    """step(carry, i, *consts) -> carry (same pytree); device-loops ITERS
+    times. Big read-only operands (caches, weights) MUST go through
+    ``consts`` — closure capture would embed them as HLO constants, and the
+    tunneled backend ships the full serialized program to a remote compiler
+    (a multi-GB body → HTTP 413)."""
 
     @jax.jit
-    def run(c):
-        c = jax.lax.fori_loop(0, ITERS, lambda i, c: step(c, i), c)
+    def run(c, cs):
+        c = jax.lax.fori_loop(0, ITERS, lambda i, c: step(c, i, *cs), c)
         return sum(
             l.astype(jnp.float32).ravel()[0] for l in jax.tree.leaves(c)
         )
 
-    float(run(init))  # compile + sync via scalar host transfer
+    float(run(init, consts))  # compile + sync via scalar host transfer
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(run(init))
+        float(run(init, consts))
         ts.append(time.perf_counter() - t0)
     per_iter_ms = min(ts) / ITERS * 1e3
     bw = (
@@ -83,7 +87,7 @@ q0 = jax.random.normal(key, (BK, 1, H, DH), jnp.bfloat16)
 cross_gb = 2 * np.prod(xk.shape) * xk.dtype.itemsize / 1e9
 
 
-def cross_step(qc, i):
+def cross_step(qc, i, xk, xv):
     def one(h, xs):
         k_l, v_l = xs
         if BEAM > 1:
@@ -98,7 +102,7 @@ def cross_step(qc, i):
 
 
 timed(f"cross-attn x{L} (read {cross_gb:.2f} GB)", q0, cross_step,
-      per_iter_gb=cross_gb)
+      consts=(xk, xv), per_iter_gb=cross_gb)
 
 # --- self-attention cache stream + update -----------------------------------
 ck = jax.random.normal(key, (L, BK, CTX, H, DH), jnp.bfloat16).astype(KV)
@@ -107,7 +111,7 @@ cache_gb = 2 * np.prod(ck.shape) * ck.dtype.itemsize / 1e9
 mask = jnp.zeros((1, CTX), jnp.bfloat16)
 
 
-def self_step(qc, i):
+def self_step(qc, i, ck, cv):
     def one(h, xs):
         k_l, v_l = xs
         k_l = jax.lax.dynamic_update_slice_in_dim(
@@ -124,7 +128,7 @@ def self_step(qc, i):
 
 
 timed(f"self-attn+update x{L} (read {cache_gb:.2f} GB)", q0, self_step,
-      per_iter_gb=cache_gb)
+      consts=(ck, cv), per_iter_gb=cache_gb)
 
 # --- weight matmul stream ----------------------------------------------------
 params = init_params(dims, key, dtype=jnp.bfloat16)
@@ -135,7 +139,7 @@ dec_gb = sum(
 x0 = jax.random.normal(key, (BK, 1, D), jnp.bfloat16)
 
 
-def weights_step(xc, i):
+def weights_step(xc, i, dec_blocks):
     def one(h, bp):
         h = layers.linear(bp["attn"]["q"], h)
         h = layers.linear(bp["attn"]["k"], h)
@@ -151,7 +155,7 @@ def weights_step(xc, i):
 
 
 timed(f"weight matmuls x{L} ({dec_gb:.2f} GB)", x0, weights_step,
-      per_iter_gb=dec_gb)
+      consts=(dec_blocks,), per_iter_gb=dec_gb)
 
 # --- unembed ------------------------------------------------------------------
 emb = params["decoder"]["tok_emb"]
@@ -159,12 +163,13 @@ emb_gb = np.prod(emb.shape) * emb.dtype.itemsize / 1e9
 u0 = jax.random.normal(key, (BK, D), jnp.bfloat16)
 
 
-def unembed_step(xc, i):
+def unembed_step(xc, i, emb):
     lg = layers.unembed(emb, xc)
     return jnp.tanh(lg[:, :D]).astype(xc.dtype)
 
 
-timed(f"unembed ({emb_gb:.2f} GB)", u0, unembed_step, per_iter_gb=emb_gb)
+timed(f"unembed ({emb_gb:.2f} GB)", u0, unembed_step, consts=(emb,),
+      per_iter_gb=emb_gb)
 
 # --- selection over the vocab --------------------------------------------------
 lg0 = jax.random.normal(key, (BK, dims.n_vocab), jnp.float32)

@@ -69,6 +69,24 @@ def _engine_from_args(args):
                   file=sys.stderr)
             raise SystemExit(2)
 
+    fallback = None
+    if getattr(args, "fallback", False):
+        from whisper_tpu.decode.fallback import DEFAULT_TEMPERATURES
+
+        fallback = DEFAULT_TEMPERATURES[1:]  # retry ladder after the primary
+    elif getattr(args, "fallback_temperatures", None):
+        try:
+            fallback = tuple(
+                float(x) for x in args.fallback_temperatures.split(",")
+            )
+        except ValueError:
+            print(
+                "error: --fallback-temperatures wants comma-separated floats "
+                f"(got {args.fallback_temperatures!r})",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+
     config = EngineConfig(
         model=model,
         language=args.language,
@@ -81,6 +99,8 @@ def _engine_from_args(args):
         kv_cache_dtype=args.kv_dtype,
         mesh_shape=mesh_shape,
         reference_quirks=args.reference_quirks,
+        temperature=getattr(args, "temperature", 0.0),
+        fallback_temperatures=fallback,
     )
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
@@ -108,9 +128,15 @@ def _cmd_transcribe(args) -> int:
                 if result.mel_ms is None
                 else f"mel {result.mel_ms:.1f} ms"
             )
+            temp = (
+                f", T={result.temperature:g}"
+                if result.temperature is not None
+                else ""
+            )
             print(
                 f"  [{lang}{mel}, "
-                f"model {result.model_ms:.1f} ms, {result.length} tokens]",
+                f"model {result.model_ms:.1f} ms, {result.length} tokens"
+                f"{temp}]",
                 file=sys.stderr,
             )
     return 0
@@ -218,6 +244,26 @@ def _add_engine_args(p) -> None:
         help="bit-parity mode vs the reference binaries: literal multilingual "
         "prompt [sot, lang, 50359, 50363] (whisper.cpp:331-339) and the "
         "INT32_MAX stereo downmix (wav_util.cpp:122-126)",
+    )
+    p.add_argument(
+        "--temperature",
+        type=float,
+        default=0.0,
+        help="sampling temperature for the primary decode (0 = greedy; "
+        ">0 samples in-graph via gumbel-argmax, one executable for all T)",
+    )
+    p.add_argument(
+        "--fallback",
+        action="store_true",
+        help="openai-whisper temperature fallback: rows failing the "
+        "compression-ratio/logprob quality gates re-decode at 0.2, 0.4, "
+        "0.6, 0.8, 1.0",
+    )
+    p.add_argument(
+        "--fallback-temperatures",
+        default=None,
+        metavar="T1,T2,...",
+        help="custom retry temperature ladder (implies the quality gates)",
     )
 
 

@@ -123,6 +123,17 @@ class EngineConfig:
     # Parallelism (reference: single-device; see SURVEY.md §2b)
     mesh_shape: Tuple[int, ...] = (1, 1)  # (data, model)
     mesh_axis_names: Tuple[str, ...] = ("data", "model")
+    # Sampling + temperature fallback (openai-whisper transcribe semantics;
+    # the reference is greedy-only). temperature=0 is exact greedy;
+    # fallback_temperatures appends a retry ladder — failed quality gates
+    # (decode/fallback.py) re-decode just the failing rows at the next
+    # temperature. All temperatures share ONE executable (T is a traced
+    # scalar; decode/greedy.py gumbel-argmax).
+    temperature: float = 0.0
+    fallback_temperatures: Optional[Tuple[float, ...]] = None
+    compression_ratio_threshold: Optional[float] = 2.4  # gate: None disables
+    logprob_threshold: Optional[float] = -1.0  # gate: None disables
+    sampling_seed: int = 0
     # Bit-parity mode vs the reference binaries: reproduces its literal
     # multilingual prompt (unshifted task/notimestamps IDs 50359/50363 —
     # whisper.cpp:331-339) and the stereo downmix-by-INT32_MAX bug

@@ -47,6 +47,11 @@ class GreedyState(NamedTuple):
     finished: jnp.ndarray  # [B] bool
 
 
+class _SamplingState(NamedTuple):
+    greedy: GreedyState
+    sum_logprobs: jnp.ndarray  # [B] f32 — zeros when not accounting
+
+
 def greedy_decode(
     params: Params,
     enc_out: jnp.ndarray,  # [B, n_audio_ctx, d]
@@ -59,12 +64,33 @@ def greedy_decode(
     compute_dtype=jnp.float32,
     cross_kv: Optional[KVCache] = None,  # share with language detection
     kv_cache_dtype=None,  # storage dtype for caches (None => compute_dtype)
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tokens [B, P + max_new_tokens], lengths [B]).
+    temperature: Optional[jnp.ndarray] = None,  # traced scalar ≥ 0; None =
+    # pure argmax with NO noise machinery compiled in (the parity path)
+    rng: Optional[jnp.ndarray] = None,  # PRNGKey, required with temperature
+    return_logprobs: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Returns (tokens [B, P + max_new_tokens], lengths [B]) — plus
+    (sum_logprobs [B] f32,) when ``return_logprobs``.
 
     Output rows start with the prompt (the golden tiny.en IDs include the
     prompt tokens — whisper.h:27-32); unused tail positions hold ``eot``.
     ``lengths`` counts valid tokens including the terminating EOT.
+
+    **Temperature sampling, one executable for the whole schedule.** With
+    ``temperature`` (a *traced* scalar) the pick becomes
+    ``argmax(logits + T * gumbel)``: argmax is invariant to the positive
+    rescale ``/T``, so this IS an exact sample from ``softmax(logits / T)``
+    (the Gumbel-max trick), and at ``T == 0`` the noise term vanishes and the
+    pick is exactly greedy — the temperature fallback schedule
+    (openai-whisper DecodingOptions.temperature) therefore reuses ONE
+    compiled program with T as a runtime argument instead of compiling per
+    temperature. Per-step keys fold the write position into ``rng`` so a
+    fixed seed is reproducible and steps are independent.
+
+    ``sum_logprobs`` accumulates ``log_softmax`` of the *rule-constrained*
+    logits at each sampled token (including the terminating EOT, excluding
+    frozen post-EOT positions) — openai's ``GreedyDecoder.update``
+    bookkeeping for the fallback's avg-logprob gate.
     """
     b, p_len = prompt.shape
     total_len = p_len + max_new_tokens
@@ -73,17 +99,35 @@ def greedy_decode(
             f"prompt({p_len}) + max_new({max_new_tokens}) exceeds n_text_ctx"
         )
 
+    if temperature is not None and rng is None:
+        raise ValueError("temperature sampling requires an rng key")
     if cross_kv is None:
         cross_kv = precompute_cross_kv(params, enc_out, dims, kv_dtype=kv_cache_dtype)
     cache = init_kv_cache(dims, b, total_len, dtype=kv_cache_dtype or compute_dtype)
     sample_begin = jnp.int32(p_len)
 
-    def pick(logits: jnp.ndarray, tokens: jnp.ndarray, pos) -> jnp.ndarray:
+    def pick(logits: jnp.ndarray, tokens: jnp.ndarray, pos):
+        """Constrained logits → (chosen token [B], its logprob [B] or None)."""
         if logit_bias is not None:
             logits = logits + logit_bias
         if rules is not None:
             logits = rules.apply(logits, tokens, pos, sample_begin)
-        return argmax_last(logits).astype(jnp.int32)
+        if temperature is not None:
+            u = jax.random.uniform(
+                jax.random.fold_in(rng, pos), logits.shape,
+                minval=jnp.finfo(jnp.float32).tiny, maxval=1.0,
+            )
+            gumbel = -jnp.log(-jnp.log(u))
+            choice = argmax_last(
+                logits.astype(jnp.float32)
+                + temperature.astype(jnp.float32) * gumbel
+            ).astype(jnp.int32)
+        else:
+            choice = argmax_last(logits).astype(jnp.int32)
+        if not return_logprobs:
+            return choice, None
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return choice, jnp.take_along_axis(lp, choice[:, None], axis=-1)[:, 0]
 
     # --- prefill: static prompt, one pass ---
     logits, cache = decoder_prefill(
@@ -91,26 +135,38 @@ def greedy_decode(
     )
     tokens = jnp.full((b, total_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :p_len].set(prompt)
-    first = pick(logits[:, -1, :], tokens, sample_begin)  # [B]
+    first, first_lp = pick(logits[:, -1, :], tokens, sample_begin)  # [B]
     tokens = tokens.at[:, p_len].set(first)
     finished = first == eot
+    sum_lp = first_lp if return_logprobs else jnp.zeros((b,), jnp.float32)
 
-    init = GreedyState(jnp.int32(p_len + 1), tokens, cache, finished)
+    init = _SamplingState(
+        GreedyState(jnp.int32(p_len + 1), tokens, cache, finished), sum_lp
+    )
 
-    def cond(s: GreedyState):
+    def cond(ss: _SamplingState):
+        s = ss.greedy
         return (s.pos < total_len) & ~jnp.all(s.finished)
 
-    def body(s: GreedyState) -> GreedyState:
+    def body(ss: _SamplingState) -> _SamplingState:
+        s = ss.greedy
         prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, axis=1, keepdims=False)
         logits, cache = decoder_step(
             params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype
         )
-        nxt = pick(logits, s.tokens, s.pos)
+        nxt, lp = pick(logits, s.tokens, s.pos)
         nxt = jnp.where(s.finished, eot, nxt)
         tokens = jax.lax.dynamic_update_index_in_dim(s.tokens, nxt, s.pos, axis=1)
-        return GreedyState(s.pos + 1, tokens, cache, s.finished | (nxt == eot))
+        sum_lp = ss.sum_logprobs
+        if return_logprobs:  # frozen rows stop accumulating
+            sum_lp = sum_lp + jnp.where(s.finished, 0.0, lp)
+        return _SamplingState(
+            GreedyState(s.pos + 1, tokens, cache, s.finished | (nxt == eot)),
+            sum_lp,
+        )
 
-    final = jax.lax.while_loop(cond, body, init)
+    final_ss = jax.lax.while_loop(cond, body, init)
+    final = final_ss.greedy
 
     # Length = index of first EOT at/after the prompt, +1 to include it.
     after = final.tokens[:, p_len:]
@@ -120,4 +176,6 @@ def greedy_decode(
     lengths = jnp.where(
         any_eot, p_len + first_eot + 1, jnp.int32(total_len)
     ).astype(jnp.int32)
+    if return_logprobs:
+        return final.tokens, lengths, final_ss.sum_logprobs
     return final.tokens, lengths

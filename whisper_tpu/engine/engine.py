@@ -66,6 +66,10 @@ class TranscriptionResult:
     mel_ms: Optional[float] = None  # None = mel fused into the model program
     # (Monolith runs one executable; there is no separate mel stage to time)
     model_ms: float = 0.0
+    # Decode-quality metadata (populated when temperature fallback is on):
+    avg_logprob: Optional[float] = None  # mean logprob of sampled tokens
+    compression_ratio: Optional[float] = None  # zlib repetition gauge
+    temperature: Optional[float] = None  # the temperature that produced this
 
     def clean_text(self) -> str:
         return remove_extra_spaces(self.text)
@@ -175,6 +179,25 @@ class Engine:
             )
         else:
             self._rules = None  # raw reference behavior (whisper.cpp:382-383)
+        # Sampling + temperature fallback (decode/fallback.py).
+        from whisper_tpu.decode.fallback import normalize_schedule
+
+        if config.temperature < 0:
+            raise ValueError("temperature must be >= 0")
+        if config.temperature > 0 and config.beam_size > 1:
+            raise ValueError(
+                "beam search decodes at temperature 0; temperature > 0 "
+                "requires beam_size=1 (openai-whisper semantics: fallback "
+                "retries switch from beam to sampling)"
+            )
+        self._schedule = normalize_schedule(
+            config.temperature, config.fallback_temperatures
+        )
+        # Sampling machinery engages when the primary decode samples (T>0)
+        # or a retry ladder exists. A beam primary still decodes via the
+        # beam program; only retries route through the sampler.
+        self._sampling_on = config.temperature > 0 or len(self._schedule) > 1
+        self._sampling_primary = self._sampling_on and self.config.beam_size == 1
         # Structured observability (utils/profiling.py) — replaces the
         # reference's printf timers (whisper.cpp:708-710, 723-725).
         from whisper_tpu.utils.profiling import StageTimer, Throughput
@@ -182,8 +205,18 @@ class Engine:
         self.timer = StageTimer()
         self.throughput = Throughput()
 
-    def _decode(self, params, enc_out, prompts, cross_kv=None):
-        """Greedy or beam decode per config; returns (tokens, lengths)."""
+    def _decode(self, params, enc_out, prompts, cross_kv=None,
+                temperature=None, rng=None):
+        """Greedy, beam, or sampling decode; returns (tokens, lengths,
+        avg_logprob or None).
+
+        ``temperature`` (a traced scalar — see decode/greedy.py) forces the
+        sampling path regardless of beam config: openai-whisper's fallback
+        semantics, where beam applies only at T=0 and retries sample. The
+        avg_logprob is per *generated* token (terminating EOT included) —
+        the quantity the fallback's logprob gate thresholds. Beam rows
+        report their length-normalized score, which is the same quantity
+        when ``length_penalty`` is None."""
         common = dict(
             dims=self.dims,
             eot=self.vocab.specials.eot,
@@ -192,13 +225,25 @@ class Engine:
             compute_dtype=self._compute_dtype,
             kv_cache_dtype=self._kv_dtype,
         )
+        if temperature is not None:
+            tokens, lengths, sum_lp = greedy_decode(
+                params, enc_out, prompts, cross_kv=cross_kv,
+                temperature=jnp.asarray(temperature, jnp.float32), rng=rng,
+                return_logprobs=True, **common
+            )
+            p_len = prompts.shape[1]
+            gen = jnp.maximum(lengths - p_len, 1).astype(jnp.float32)
+            return tokens, lengths, sum_lp / gen
         if self.config.beam_size > 1:
-            tokens, lengths, _scores = beam_decode(
+            tokens, lengths, scores = beam_decode(
                 params, enc_out, prompts, beam_size=self.config.beam_size,
                 cross_kv=cross_kv, **common
             )
-            return tokens, lengths
-        return greedy_decode(params, enc_out, prompts, cross_kv=cross_kv, **common)
+            return tokens, lengths, scores
+        tokens, lengths = greedy_decode(
+            params, enc_out, prompts, cross_kv=cross_kv, **common
+        )
+        return tokens, lengths, None
 
     def _make_prompts(self, params, enc_out):
         """Batch prompt construction inside the jit program: static template,
@@ -255,7 +300,65 @@ class Engine:
         n = min(samples.shape[1], N_SAMPLES)
         batch[:b, :n] = samples[:, :n]  # resize-to-480000 (whisper.cpp:687,698)
         t_run = time.perf_counter()
-        tokens, lengths, mel_ms, model_ms = self._run(batch)
+        base_key = jax.random.PRNGKey(self.config.sampling_seed)
+        if self._sampling_primary:
+            tokens, lengths, avg_lp, mel_ms, model_ms = self._run(
+                batch, temperature=self._schedule[0],
+                rng=jax.random.fold_in(base_key, 0),
+            )
+        else:
+            tokens, lengths, avg_lp, mel_ms, model_ms = self._run(batch)
+        # Writable copies: _to_host hands back read-only views of device
+        # buffers, and the fallback loop patches rows in place.
+        tokens, lengths = np.array(tokens), np.array(lengths)
+        avg_lp = None if avg_lp is None else np.array(avg_lp)
+        temps = np.full(padded_b, self._schedule[0], np.float64)
+
+        # --- temperature fallback: re-decode just the failing rows at each
+        # next temperature (openai-whisper decode_with_fallback, vectorized
+        # over the batch; rows are regathered into a bucketed sub-batch so
+        # the retry reuses the same per-bucket executables) ---
+        if len(self._schedule) > 1:
+            from whisper_tpu.decode.fallback import needs_fallback
+
+            def failing(rows):
+                out = []
+                for i in rows:
+                    text = decode_tokens(
+                        self.vocab, tokens[i][: int(lengths[i])], True
+                    )
+                    lp = None if avg_lp is None else float(avg_lp[i])
+                    if needs_fallback(
+                        text, lp,
+                        self.config.compression_ratio_threshold,
+                        self.config.logprob_threshold,
+                    ):
+                        out.append(i)
+                return out
+
+            pending = failing(range(b))
+            for attempt, temp in enumerate(self._schedule[1:], start=1):
+                if not pending:
+                    break
+                sub_b = batch_bucket(len(pending))
+                if self.mesh is not None:
+                    d = self.mesh.shape[self.config.mesh_axis_names[0]]
+                    sub_b = -(-sub_b // d) * d
+                sub = np.zeros((sub_b, N_SAMPLES), dtype=np.float32)
+                sub[: len(pending)] = batch[pending]
+                r_tok, r_len, r_lp, _, r_ms = self._run(
+                    sub, temperature=temp,
+                    rng=jax.random.fold_in(base_key, attempt),
+                )
+                model_ms += r_ms
+                # openai keeps the LAST attempt even if it still fails.
+                for j, i in enumerate(pending):
+                    tokens[i], lengths[i] = r_tok[j], r_len[j]
+                    if avg_lp is not None and r_lp is not None:
+                        avg_lp[i] = r_lp[j]
+                    temps[i] = temp
+                pending = failing(pending)
+
         wall_s = time.perf_counter() - t_run
         if mel_ms:
             self.timer.record("mel", mel_ms / 1e3)
@@ -270,6 +373,8 @@ class Engine:
             self.result_from_tokens(
                 np.asarray(tokens[i]), int(lengths[i]), omit_special_tokens,
                 mel_ms=mel_ms, model_ms=model_ms,
+                avg_logprob=None if avg_lp is None else float(avg_lp[i]),
+                temperature=temps[i] if self._sampling_on else None,
             )
             for i in range(b)
         ]
@@ -281,6 +386,8 @@ class Engine:
         omit_special_tokens: bool = True,
         mel_ms: Optional[float] = None,
         model_ms: float = 0.0,
+        avg_logprob: Optional[float] = None,
+        temperature: Optional[float] = None,
     ) -> TranscriptionResult:
         """Detokenize one decoded row into a TranscriptionResult — shared by
         the static-batch path above and continuous serving
@@ -299,6 +406,12 @@ class Engine:
             segments = parse_segments(self.vocab, row)
         else:
             segments = None
+        if self._sampling_on:
+            from whisper_tpu.decode.fallback import compression_ratio
+
+            cr = compression_ratio(text)
+        else:
+            cr = None
         return TranscriptionResult(
             text=text,
             tokens=np.asarray(tokens),
@@ -307,6 +420,9 @@ class Engine:
             segments=segments,
             mel_ms=mel_ms,
             model_ms=model_ms,
+            avg_logprob=avg_logprob,
+            compression_ratio=cr,
+            temperature=temperature,
         )
 
     def transcribe_long(
@@ -401,8 +517,11 @@ class Engine:
             paths, self.mesh, max_len=N_SAMPLES, data_axis=data_axis
         )
         # _run's _to_host allgathers across processes: tokens/lengths below
-        # are the full global arrays on every host.
-        tokens, lengths, mel_ms, model_ms = self._run(global_arr)
+        # are the full global arrays on every host. Temperature fallback is
+        # not applied on this path: retrying a subset of rows would need the
+        # failing audio re-sharded across hosts — run the schedule's first
+        # temperature only (the common multi-host batch workload is T=0).
+        tokens, lengths, avg_lp, mel_ms, model_ms = self._run(global_arr)
 
         # Global row layout is process-major with per-process zero padding to
         # a multiple of the data-axis size (multihost.global_batch); rebuild
@@ -534,18 +653,49 @@ class Monolith(Engine):
             prompts, cross_kv = self._make_prompts(params, enc_out)
             return self._decode(params, enc_out, prompts, cross_kv=cross_kv)
 
-        self._pipeline = pipeline
+        @jax.jit
+        def sampling_pipeline(params, samples, filters, temperature, rng):
+            # Temperature is a TRACED argument: the whole fallback schedule
+            # (and T=0 exact-greedy) shares this one executable per batch
+            # bucket — no compile per temperature.
+            mel = log_mel_spectrogram(
+                samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
+            )
+            enc_out = self._enc_constraint(encode(params, mel.astype(cdt), dims))
+            prompts, cross_kv = self._make_prompts(params, enc_out)
+            return self._decode(
+                params, enc_out, prompts, cross_kv=cross_kv,
+                temperature=temperature, rng=rng,
+            )
 
-    def _run(self, batch: np.ndarray):
-        t0 = time.perf_counter()
-        tokens, lengths = self._pipeline(
-            self.assets.params, self._place_batch(batch), self._filters
-        )
+        self._pipeline = pipeline
+        self._sampling_pipeline = sampling_pipeline
+
+    def _exec(self, batch, temperature=None, rng=None):
+        """One device run → (tokens, lengths, avg_logprob or None) on host."""
+        if temperature is not None:
+            tokens, lengths, avg_lp = self._sampling_pipeline(
+                self.assets.params, self._place_batch(batch), self._filters,
+                jnp.float32(temperature), rng,
+            )
+        else:
+            tokens, lengths, avg_lp = self._pipeline(
+                self.assets.params, self._place_batch(batch), self._filters
+            )
         tokens = self._to_host(tokens)
+        return (
+            tokens,
+            self._to_host(lengths),
+            None if avg_lp is None else self._to_host(avg_lp),
+        )
+
+    def _run(self, batch: np.ndarray, temperature=None, rng=None):
+        t0 = time.perf_counter()
+        tokens, lengths, avg_lp = self._exec(batch, temperature, rng)
         dt = (time.perf_counter() - t0) * 1e3
         # mel_ms=None: the mel stage is fused into the single program, there
         # is no separate measurement (the round-1 "0.0 ms" read as one).
-        return tokens, self._to_host(lengths), None, dt
+        return tokens, lengths, avg_lp, None, dt
 
 
 class EncDec(Engine):
@@ -568,19 +718,39 @@ class EncDec(Engine):
             prompts, cross_kv = self._make_prompts(params, enc_out)
             return self._decode(params, enc_out, prompts, cross_kv=cross_kv)
 
+        @jax.jit
+        def decode_sampling_fn(params, enc_out, temperature, rng):
+            prompts, cross_kv = self._make_prompts(params, enc_out)
+            return self._decode(
+                params, enc_out, prompts, cross_kv=cross_kv,
+                temperature=temperature, rng=rng,
+            )
+
         self._encode = frontend_encode
         self._decode_jit = decode_fn
+        self._decode_sampling_jit = decode_sampling_fn
 
-    def _run(self, batch: np.ndarray):
+    def _run(self, batch: np.ndarray, temperature=None, rng=None):
         t0 = time.perf_counter()
         enc_out = jax.block_until_ready(
             self._encode(self.assets.params, self._place_batch(batch), self._filters)
         )
         t1 = time.perf_counter()
-        tokens, lengths = self._decode_jit(self.assets.params, enc_out)
+        if temperature is not None:
+            tokens, lengths, avg_lp = self._decode_sampling_jit(
+                self.assets.params, enc_out, jnp.float32(temperature), rng
+            )
+        else:
+            tokens, lengths, avg_lp = self._decode_jit(self.assets.params, enc_out)
         tokens = self._to_host(tokens)
         t2 = time.perf_counter()
-        return tokens, self._to_host(lengths), (t1 - t0) * 1e3, (t2 - t1) * 1e3
+        return (
+            tokens,
+            self._to_host(lengths),
+            None if avg_lp is None else self._to_host(avg_lp),
+            (t1 - t0) * 1e3,
+            (t2 - t1) * 1e3,
+        )
 
 
 def create_engine(
