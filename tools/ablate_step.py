@@ -111,24 +111,34 @@ cache_gb = 2 * np.prod(ck.shape) * ck.dtype.itemsize / 1e9
 mask = jnp.zeros((1, CTX), jnp.bfloat16)
 
 
-def self_step(qc, i, ck, cv):
-    def one(h, xs):
-        k_l, v_l = xs
-        k_l = jax.lax.dynamic_update_slice_in_dim(
-            k_l, h.astype(k_l.dtype), 100, axis=1
+def self_step(carry, i):
+    """Models models/decoder.py's carry structure: the FULL cache rides the
+    scan carry, each layer writes its new rows in place (DUS) and reads its
+    own slice (DS) — XLA aliases carried buffers, so the step's cache
+    traffic is one read + one row write, not a full rewrite."""
+    qc, ck, cv = carry
+
+    def one(inner, l):
+        h, ck, cv = inner
+        ck = jax.lax.dynamic_update_slice(
+            ck, h[None].astype(ck.dtype), (l, 0, 100, 0, 0)
         )
-        v_l = jax.lax.dynamic_update_slice_in_dim(
-            v_l, h.astype(v_l.dtype), 100, axis=1
+        cv = jax.lax.dynamic_update_slice(
+            cv, h[None].astype(cv.dtype), (l, 0, 100, 0, 0)
         )
+        k_l = jax.lax.dynamic_index_in_dim(ck, l, 0, keepdims=False)
+        v_l = jax.lax.dynamic_index_in_dim(cv, l, 0, keepdims=False)
         o = layers.qkv_attention(h, k_l, v_l, mask)
-        return o.astype(h.dtype), None
+        return (o.astype(h.dtype), ck, cv), None
 
-    out, _ = jax.lax.scan(one, qc, (ck, cv))
-    return out
+    (out, ck, cv), _ = jax.lax.scan(
+        one, (qc, ck, cv), jnp.arange(L, dtype=jnp.int32)
+    )
+    return (out, ck, cv)
 
 
-timed(f"self-attn+update x{L} (read {cache_gb:.2f} GB)", q0, self_step,
-      consts=(ck, cv), per_iter_gb=cache_gb)
+timed(f"self-attn+update x{L} carried (read {cache_gb:.2f} GB)",
+      (q0, ck, cv), self_step, per_iter_gb=cache_gb)
 
 # --- weight matmul stream ----------------------------------------------------
 params = init_params(dims, key, dtype=jnp.bfloat16)

@@ -56,6 +56,20 @@ def read_wav(
     """
     with open(path, "rb") as f:
         data = f.read()
+    return read_wav_bytes(
+        data, expected_sample_rate, reference_quirks, name=path
+    )
+
+
+def read_wav_bytes(
+    data: bytes,
+    expected_sample_rate: Optional[int] = 16_000,
+    reference_quirks: bool = False,
+    name: str = "<bytes>",
+) -> np.ndarray:
+    """In-memory variant of :func:`read_wav` (same contracts) — the decode
+    path for network request bodies (engine/http_server.py)."""
+    path = name
     chunks = _parse_riff_chunks(data)
     if b"fmt " not in chunks or b"data" not in chunks:
         raise ValueError(f"{path}: missing fmt/data chunk")

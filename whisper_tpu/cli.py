@@ -392,6 +392,23 @@ def build_parser() -> argparse.ArgumentParser:
     _add_engine_args(ec)
     ec.set_defaults(fn=_cmd_eval_corpus)
 
+    sv = sub.add_parser(
+        "serve",
+        help="HTTP transcription server over the continuous-batching (or "
+        "micro-batching) serving layer: POST /transcribe with WAV bytes",
+    )
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.add_argument(
+        "--mode", choices=["continuous", "async", "sync"], default="continuous"
+    )
+    sv.add_argument("--slots", type=int, default=8,
+                    help="decode slot pool size (continuous mode)")
+    sv.add_argument("--max-batch", type=int, default=8,
+                    help="micro-batch cap (async mode)")
+    _add_engine_args(sv)
+    sv.set_defaults(fn=_cmd_serve)
+
     v = sub.add_parser("vad", help="per-frame energy VAD (app/vad.cpp)")
     v.add_argument("--input", required=True, help="raw float32 PCM")
     v.add_argument("--threshold", type=float, default=0.01)
@@ -441,6 +458,27 @@ def build_parser() -> argparse.ArgumentParser:
     e.set_defaults(fn=_cmd_eval)
 
     return p
+
+
+def _cmd_serve(args) -> int:
+    from whisper_tpu.engine.http_server import TranscribeServer
+
+    engine = _engine_from_args(args)
+    server = TranscribeServer(
+        engine,
+        host=args.host,
+        port=args.port,
+        mode=args.mode,
+        n_slots=args.slots,
+        max_batch=args.max_batch,
+    )
+    print(
+        f"whisper-tpu serving on http://{server.host}:{server.port} "
+        f"(mode={args.mode}) — POST /transcribe, GET /healthz, GET /metrics",
+        file=sys.stderr,
+    )
+    server.serve_forever()
+    return 0
 
 
 def _cmd_eval(args) -> int:
