@@ -101,6 +101,7 @@ def _engine_from_args(args):
         reference_quirks=args.reference_quirks,
         temperature=getattr(args, "temperature", 0.0),
         fallback_temperatures=fallback,
+        word_timestamps=getattr(args, "word_timestamps", False),
     )
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
@@ -121,6 +122,9 @@ def _cmd_transcribe(args) -> int:
     for result in results:
         text = result.clean_text() if args.clean else result.text
         print(text)
+        if result.words:
+            for w in result.words:
+                print(f"  {w.start:6.2f}-{w.end:6.2f}  {w.word}")
         if args.verbose:
             lang = f"lang {result.language}, " if result.language else ""
             mel = (
@@ -217,6 +221,12 @@ def _add_engine_args(p) -> None:
     p.add_argument("--beam-size", type=int, default=1)
     p.add_argument("--max-new-tokens", type=int, default=None)
     p.add_argument("--timestamps", action="store_true")
+    p.add_argument(
+        "--word-timestamps",
+        action="store_true",
+        help="per-word start/end times via DTW over cross-attention "
+        "alignment (one extra teacher-forced forward per batch)",
+    )
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument(
         "--mesh",

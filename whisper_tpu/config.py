@@ -134,6 +134,12 @@ class EngineConfig:
     compression_ratio_threshold: Optional[float] = 2.4  # gate: None disables
     logprob_threshold: Optional[float] = -1.0  # gate: None disables
     sampling_seed: int = 0
+    # Word-level timestamps: DTW over cross-attention alignment
+    # (decode/align.py) via one extra teacher-forced forward per batch.
+    # alignment_heads: explicit [(layer, head), ...] (openai ships these per
+    # checkpoint); None = all heads of the upper half of the decoder stack.
+    word_timestamps: bool = False
+    alignment_heads: Optional[Tuple[Tuple[int, int], ...]] = None
     # Bit-parity mode vs the reference binaries: reproduces its literal
     # multilingual prompt (unshifted task/notimestamps IDs 50359/50363 —
     # whisper.cpp:331-339) and the stereo downmix-by-INT32_MAX bug

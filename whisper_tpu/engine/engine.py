@@ -70,6 +70,7 @@ class TranscriptionResult:
     avg_logprob: Optional[float] = None  # mean logprob of sampled tokens
     compression_ratio: Optional[float] = None  # zlib repetition gauge
     temperature: Optional[float] = None  # the temperature that produced this
+    words: Optional[list] = None  # [align.Word] when word_timestamps=True
 
     def clean_text(self) -> str:
         return remove_extra_spaces(self.text)
@@ -198,6 +199,46 @@ class Engine:
         # beam program; only retries route through the sampler.
         self._sampling_on = config.temperature > 0 or len(self._schedule) > 1
         self._sampling_primary = self._sampling_on and self.config.beam_size == 1
+        # Word-level timestamps (decode/align.py): one extra teacher-forced
+        # alignment forward per batch, device-reduced to [B, T, Ta].
+        if config.word_timestamps:
+            from whisper_tpu.decode.align import (
+                alignment_matrix,
+                default_alignment_mask,
+                heads_to_mask,
+            )
+
+            if config.alignment_heads is not None:
+                amask = heads_to_mask(config.alignment_heads, self.dims)
+            else:
+                amask = default_alignment_mask(self.dims)
+            self._align_mask = jnp.asarray(amask)
+            dims_, cdt_ = self.dims, jnp.dtype(config.dtype)
+
+            @jax.jit
+            def align_fn(params, samples, filters, tokens):
+                from whisper_tpu.frontend.mel import log_mel_spectrogram
+                from whisper_tpu.models.decoder import precompute_cross_kv
+                from whisper_tpu.models.encoder import encode as _encode
+
+                mel = log_mel_spectrogram(
+                    samples, filters, n_mels=dims_.n_mels,
+                    compute_dtype=jnp.float32,
+                )
+                enc_out = self._enc_constraint(
+                    _encode(params, mel.astype(cdt_), dims_)
+                )
+                cross_kv = precompute_cross_kv(
+                    params, enc_out, dims_, kv_dtype=self._kv_dtype
+                )
+                return alignment_matrix(
+                    params, tokens, cross_kv, dims_, self._align_mask,
+                    compute_dtype=cdt_,
+                )
+
+            self._align_fn = align_fn
+        else:
+            self._align_fn = None
         # Structured observability (utils/profiling.py) — replaces the
         # reference's printf timers (whisper.cpp:708-710, 723-725).
         from whisper_tpu.utils.profiling import StageTimer, Throughput
@@ -359,6 +400,27 @@ class Engine:
                     temps[i] = temp
                 pending = failing(pending)
 
+        # --- word-level timestamps: one alignment forward for the batch ---
+        words_per_row = [None] * b
+        if self._align_fn is not None:
+            from whisper_tpu.decode.align import words_from_alignment
+
+            matrix = np.asarray(
+                jax.block_until_ready(
+                    self._align_fn(
+                        self.assets.params, self._place_batch(batch),
+                        self._filters, jnp.asarray(tokens),
+                    )
+                )
+            )
+            n_frames = max(2, (n // 160) // 2)  # valid encoder positions
+            p_len = len(self._prompt)
+            for i in range(b):
+                words_per_row[i] = words_from_alignment(
+                    self.vocab, tokens[i], int(lengths[i]), p_len,
+                    matrix[i], n_frames=n_frames,
+                )
+
         wall_s = time.perf_counter() - t_run
         if mel_ms:
             self.timer.record("mel", mel_ms / 1e3)
@@ -375,6 +437,7 @@ class Engine:
                 mel_ms=mel_ms, model_ms=model_ms,
                 avg_logprob=None if avg_lp is None else float(avg_lp[i]),
                 temperature=temps[i] if self._sampling_on else None,
+                words=words_per_row[i],
             )
             for i in range(b)
         ]
@@ -388,6 +451,7 @@ class Engine:
         model_ms: float = 0.0,
         avg_logprob: Optional[float] = None,
         temperature: Optional[float] = None,
+        words: Optional[list] = None,
     ) -> TranscriptionResult:
         """Detokenize one decoded row into a TranscriptionResult — shared by
         the static-batch path above and continuous serving
@@ -423,6 +487,7 @@ class Engine:
             avg_logprob=avg_logprob,
             compression_ratio=cr,
             temperature=temperature,
+            words=words,
         )
 
     def transcribe_long(
