@@ -87,6 +87,20 @@ def _engine_from_args(args):
             )
             raise SystemExit(2)
 
+    initial_prompt = None
+    if getattr(args, "initial_prompt_tokens", None):
+        try:
+            initial_prompt = tuple(
+                int(x) for x in args.initial_prompt_tokens.split(",")
+            )
+        except ValueError:
+            print(
+                "error: --initial-prompt-tokens wants comma-separated ints "
+                f"(got {args.initial_prompt_tokens!r})",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
+
     config = EngineConfig(
         model=model,
         language=args.language,
@@ -102,6 +116,8 @@ def _engine_from_args(args):
         temperature=getattr(args, "temperature", 0.0),
         fallback_temperatures=fallback,
         word_timestamps=getattr(args, "word_timestamps", False),
+        initial_prompt_tokens=initial_prompt,
+        no_speech_threshold=getattr(args, "no_speech_threshold", None),
     )
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
@@ -274,6 +290,23 @@ def _add_engine_args(p) -> None:
         default=None,
         metavar="T1,T2,...",
         help="custom retry temperature ladder (implies the quality gates)",
+    )
+    p.add_argument(
+        "--no-speech-threshold",
+        type=float,
+        default=None,
+        metavar="P",
+        help="silence gate: emit empty text when P(<|nospeech|>) at the SOT "
+        "position exceeds P (openai default 0.6); a confident avg-logprob "
+        "overrides",
+    )
+    p.add_argument(
+        "--initial-prompt-tokens",
+        default=None,
+        metavar="ID1,ID2,...",
+        help="conditioning context token IDs prepended as "
+        "[<|startofprev|>]+prefix (openai initial_prompt; tokenize with the "
+        "checkpoint's tokenizer)",
     )
 
 

@@ -140,6 +140,17 @@ class EngineConfig:
     # checkpoint); None = all heads of the upper half of the decoder stack.
     word_timestamps: bool = False
     alignment_heads: Optional[Tuple[Tuple[int, int], ...]] = None
+    # Conditioning context (openai initial_prompt): token IDs prepended as
+    # [<|startofprev|>] + prefix before the SOT sequence, cropped to the
+    # last n_text_ctx//2-1 entries. Token IDs, not text — tokenization is a
+    # checkpoint-side concern (pair with the HF tokenizer used to convert).
+    initial_prompt_tokens: Optional[Tuple[int, ...]] = None
+    # Silence gate (openai no_speech_threshold, default there 0.6): when
+    # set, the <|nospeech|> probability at the SOT position is read from the
+    # prefill logits; a window with prob > threshold is emitted as empty
+    # text — unless avg_logprob clears logprob_threshold (confident speech
+    # overrides the gate, openai transcribe.py). None = off (parity path).
+    no_speech_threshold: Optional[float] = None
     # Bit-parity mode vs the reference binaries: reproduces its literal
     # multilingual prompt (unshifted task/notimestamps IDs 50359/50363 —
     # whisper.cpp:331-339) and the stereo downmix-by-INT32_MAX bug

@@ -258,9 +258,12 @@ def beam_decode(
     compute_dtype=jnp.float32,
     cross_kv: Optional[KVCache] = None,  # unreplicated [L, B, H, Dh, Tk]
     kv_cache_dtype=None,  # storage dtype for caches (None => compute_dtype)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    no_speech: Optional[Tuple[int, int]] = None,  # (sot_index, nospeech_id)
+) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best
-    finished hypothesis per batch item (length-normalized score)."""
+    finished hypothesis per batch item (length-normalized score) — plus
+    (no_speech_probs [B],) when ``no_speech`` is given (the prefill-logits
+    silence signal, see decode/greedy.py)."""
     b, p_len = prompt.shape
     k = beam_size
     bk = b * k
@@ -287,6 +290,11 @@ def beam_decode(
     logits, cache_b = decoder_prefill(
         params, prompt, cache_b, cross_kv, dims, compute_dtype
     )
+    if no_speech is not None:
+        sot_index, nospeech_id = no_speech
+        no_speech_probs = jax.nn.softmax(
+            logits[:, sot_index, :].astype(jnp.float32), axis=-1
+        )[:, nospeech_id]
     cache = {key: jnp.repeat(v, k, axis=1) for key, v in cache_b.items()}
 
     tokens_b = jnp.full((b, total_len), eot, dtype=jnp.int32)
@@ -412,8 +420,11 @@ def beam_decode(
     take = lambda x: jnp.take_along_axis(  # noqa: E731
         x, best[:, None] if x.ndim == 2 else best[:, None, None], axis=1
     )
-    return (
+    out: Tuple[jnp.ndarray, ...] = (
         take(fin.tokens)[:, 0],
         take(fin.lengths)[:, 0],
         take(norm_scores)[:, 0],
     )
+    if no_speech is not None:
+        out = out + (no_speech_probs,)
+    return out

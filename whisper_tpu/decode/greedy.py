@@ -68,9 +68,17 @@ def greedy_decode(
     # pure argmax with NO noise machinery compiled in (the parity path)
     rng: Optional[jnp.ndarray] = None,  # PRNGKey, required with temperature
     return_logprobs: bool = False,
+    no_speech: Optional[Tuple[int, int]] = None,  # (sot_index, nospeech_id)
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P + max_new_tokens], lengths [B]) — plus
-    (sum_logprobs [B] f32,) when ``return_logprobs``.
+    (sum_logprobs [B] f32,) when ``return_logprobs``, plus
+    (no_speech_probs [B] f32,) when ``no_speech`` is given.
+
+    ``no_speech=(sot_index, nospeech_id)``: also return the softmax
+    probability of the ``<|nospeech|>`` token in the prefill logits at the
+    SOT position — openai-whisper's silence signal (DecodingTask
+    ``_main_loop``: ``probs_at_sot[:, no_speech]``), read from the raw
+    (un-ruled) logits.
 
     Output rows start with the prompt (the golden tiny.en IDs include the
     prompt tokens — whisper.h:27-32); unused tail positions hold ``eot``.
@@ -133,6 +141,12 @@ def greedy_decode(
     logits, cache = decoder_prefill(
         params, prompt, cache, cross_kv, dims, compute_dtype
     )
+    if no_speech is not None:
+        sot_index, nospeech_id = no_speech
+        probs_at_sot = jax.nn.softmax(
+            logits[:, sot_index, :].astype(jnp.float32), axis=-1
+        )
+        no_speech_probs = probs_at_sot[:, nospeech_id]
     tokens = jnp.full((b, total_len), eot, dtype=jnp.int32)
     tokens = tokens.at[:, :p_len].set(prompt)
     first, first_lp = pick(logits[:, -1, :], tokens, sample_begin)  # [B]
@@ -176,6 +190,9 @@ def greedy_decode(
     lengths = jnp.where(
         any_eot, p_len + first_eot + 1, jnp.int32(total_len)
     ).astype(jnp.int32)
+    out: Tuple[jnp.ndarray, ...] = (final.tokens, lengths)
     if return_logprobs:
-        return final.tokens, lengths, final_ss.sum_logprobs
-    return final.tokens, lengths
+        out = out + (final_ss.sum_logprobs,)
+    if no_speech is not None:
+        out = out + (no_speech_probs,)
+    return out

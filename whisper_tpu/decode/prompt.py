@@ -31,24 +31,33 @@ def build_prompt(
     timestamps: bool = False,
     specials: Optional[SpecialTokens] = None,
     reference_quirks: bool = False,
+    prefix_tokens: Optional[List[int]] = None,
+    n_text_ctx: int = 448,
 ) -> List[int]:
+    """``prefix_tokens`` prepends conditioning context before the SOT
+    sequence as ``[<|startofprev|>] + prefix`` — openai-whisper's
+    ``initial_prompt`` / previous-text conditioning (decoding.py
+    ``_get_initial_tokens``). The prefix is cropped to the LAST
+    ``n_text_ctx // 2 - 1`` tokens, exactly openai's window. The reference
+    has no conditioning concept at all (whisper.cpp:327-339)."""
     st = specials or special_tokens_for(multilingual)
     if not multilingual:
         prompt = [st.sot]
         if not timestamps:
             prompt.append(st.not_)
-        return prompt
-
-    lang = language or "en"
-    if reference_quirks:
+    elif reference_quirks:
         # Literal reference sequence (whisper.cpp:331-339).
+        lang = language or "en"
         prompt = [st.sot, st.lang_token(language_id(lang)), 50359]
         if not timestamps:
             prompt.append(50363)
-        return prompt
-
-    task_token = st.transcribe if task == "transcribe" else st.translate
-    prompt = [st.sot, st.lang_token(language_id(lang)), task_token]
-    if not timestamps:
-        prompt.append(st.not_)
+    else:
+        lang = language or "en"
+        task_token = st.transcribe if task == "transcribe" else st.translate
+        prompt = [st.sot, st.lang_token(language_id(lang)), task_token]
+        if not timestamps:
+            prompt.append(st.not_)
+    if prefix_tokens:
+        keep = max(n_text_ctx // 2 - 1, 0)
+        prompt = [st.prev] + [int(t) for t in prefix_tokens][-keep:] + prompt
     return prompt

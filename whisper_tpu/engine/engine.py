@@ -71,6 +71,8 @@ class TranscriptionResult:
     compression_ratio: Optional[float] = None  # zlib repetition gauge
     temperature: Optional[float] = None  # the temperature that produced this
     words: Optional[list] = None  # [align.Word] when word_timestamps=True
+    no_speech_prob: Optional[float] = None  # <|nospeech|> prob at SOT
+    is_silent: bool = False  # no-speech gate fired: text forced empty
 
     def clean_text(self) -> str:
         return remove_extra_spaces(self.text)
@@ -149,8 +151,19 @@ class Engine:
             timestamps=config.timestamps,
             specials=assets.vocab.specials,
             reference_quirks=config.reference_quirks,
+            prefix_tokens=(
+                list(config.initial_prompt_tokens)
+                if config.initial_prompt_tokens
+                else None
+            ),
+            n_text_ctx=self.dims.n_text_ctx,
         )
         self._prompt = np.asarray(prompt, dtype=np.int32)
+        # Index of SOT within the prompt (> 0 when an initial-prompt prefix
+        # precedes it); the language slot is always sot_index + 1.
+        self._sot_index = int(
+            np.nonzero(self._prompt == assets.vocab.specials.sot)[0][0]
+        )
         budget = self.dims.n_text_ctx - len(prompt)
         self._max_new = (
             min(config.max_new_tokens, budget)
@@ -258,6 +271,11 @@ class Engine:
         the quantity the fallback's logprob gate thresholds. Beam rows
         report their length-normalized score, which is the same quantity
         when ``length_penalty`` is None."""
+        ns = (
+            (self._sot_index, self.vocab.specials.nospeech)
+            if self.config.no_speech_threshold is not None
+            else None
+        )
         common = dict(
             dims=self.dims,
             eot=self.vocab.specials.eot,
@@ -265,26 +283,28 @@ class Engine:
             rules=self._rules,
             compute_dtype=self._compute_dtype,
             kv_cache_dtype=self._kv_dtype,
+            no_speech=ns,
         )
         if temperature is not None:
-            tokens, lengths, sum_lp = greedy_decode(
+            out = greedy_decode(
                 params, enc_out, prompts, cross_kv=cross_kv,
                 temperature=jnp.asarray(temperature, jnp.float32), rng=rng,
                 return_logprobs=True, **common
             )
+            tokens, lengths, sum_lp = out[:3]
             p_len = prompts.shape[1]
             gen = jnp.maximum(lengths - p_len, 1).astype(jnp.float32)
-            return tokens, lengths, sum_lp / gen
+            return tokens, lengths, sum_lp / gen, out[3] if ns else None
         if self.config.beam_size > 1:
-            tokens, lengths, scores = beam_decode(
+            out = beam_decode(
                 params, enc_out, prompts, beam_size=self.config.beam_size,
                 cross_kv=cross_kv, **common
             )
-            return tokens, lengths, scores
-        tokens, lengths = greedy_decode(
+            return out[0], out[1], out[2], out[3] if ns else None
+        out = greedy_decode(
             params, enc_out, prompts, cross_kv=cross_kv, **common
         )
-        return tokens, lengths, None
+        return out[0], out[1], None, out[2] if ns else None
 
     def _make_prompts(self, params, enc_out):
         """Batch prompt construction inside the jit program: static template,
@@ -309,7 +329,7 @@ class Engine:
             compute_dtype=self._compute_dtype,
             cross_kv=cross_kv,
         )
-        return prompts.at[:, 1].set(lang_toks), cross_kv
+        return prompts.at[:, self._sot_index + 1].set(lang_toks), cross_kv
 
     # --- public API (reference parity surface) -----------------------------
     def transcribe(
@@ -343,16 +363,17 @@ class Engine:
         t_run = time.perf_counter()
         base_key = jax.random.PRNGKey(self.config.sampling_seed)
         if self._sampling_primary:
-            tokens, lengths, avg_lp, mel_ms, model_ms = self._run(
+            tokens, lengths, avg_lp, nsp, mel_ms, model_ms = self._run(
                 batch, temperature=self._schedule[0],
                 rng=jax.random.fold_in(base_key, 0),
             )
         else:
-            tokens, lengths, avg_lp, mel_ms, model_ms = self._run(batch)
+            tokens, lengths, avg_lp, nsp, mel_ms, model_ms = self._run(batch)
         # Writable copies: _to_host hands back read-only views of device
         # buffers, and the fallback loop patches rows in place.
         tokens, lengths = np.array(tokens), np.array(lengths)
         avg_lp = None if avg_lp is None else np.array(avg_lp)
+        nsp = None if nsp is None else np.array(nsp)
         temps = np.full(padded_b, self._schedule[0], np.float64)
 
         # --- temperature fallback: re-decode just the failing rows at each
@@ -366,7 +387,9 @@ class Engine:
                 out = []
                 for i in rows:
                     text = decode_tokens(
-                        self.vocab, tokens[i][: int(lengths[i])], True
+                        self.vocab,
+                        tokens[i][self._sot_index : int(lengths[i])],
+                        True,
                     )
                     lp = None if avg_lp is None else float(avg_lp[i])
                     if needs_fallback(
@@ -387,7 +410,7 @@ class Engine:
                     sub_b = -(-sub_b // d) * d
                 sub = np.zeros((sub_b, N_SAMPLES), dtype=np.float32)
                 sub[: len(pending)] = batch[pending]
-                r_tok, r_len, r_lp, _, r_ms = self._run(
+                r_tok, r_len, r_lp, _r_nsp, _, r_ms = self._run(
                     sub, temperature=temp,
                     rng=jax.random.fold_in(base_key, attempt),
                 )
@@ -438,6 +461,7 @@ class Engine:
                 avg_logprob=None if avg_lp is None else float(avg_lp[i]),
                 temperature=temps[i] if self._sampling_on else None,
                 words=words_per_row[i],
+                no_speech_prob=None if nsp is None else float(nsp[i]),
             )
             for i in range(b)
         ]
@@ -452,16 +476,23 @@ class Engine:
         avg_logprob: Optional[float] = None,
         temperature: Optional[float] = None,
         words: Optional[list] = None,
+        no_speech_prob: Optional[float] = None,
     ) -> TranscriptionResult:
         """Detokenize one decoded row into a TranscriptionResult — shared by
         the static-batch path above and continuous serving
         (engine/serving.py::ContinuousTranscriber)."""
         row = np.asarray(tokens[:length])
-        text = decode_tokens(self.vocab, row, omit_special_tokens)
-        if self.config.multilingual and len(row) > 1:
+        # With an initial-prompt prefix, ordinary text tokens precede SOT;
+        # the transcript starts at SOT (openai strips everything before the
+        # last sot_sequence). Without a prefix _sot_index is 0 — unchanged.
+        text_row = row[self._sot_index :] if omit_special_tokens else row
+        text = decode_tokens(self.vocab, text_row, omit_special_tokens)
+        if self.config.multilingual and len(row) > self._sot_index + 1:
             from whisper_tpu.decode.language import lang_token_to_code
 
-            language = lang_token_to_code(row[1], self.vocab.specials.sot)
+            language = lang_token_to_code(
+                row[self._sot_index + 1], self.vocab.specials.sot
+            )
         else:
             language = "en" if not self.config.multilingual else ""
         if self.config.timestamps:
@@ -476,8 +507,22 @@ class Engine:
             cr = compression_ratio(text)
         else:
             cr = None
+        # Silence gate (openai transcribe.py): skip the window when the
+        # nospeech probability clears the threshold — unless a confidently
+        # high avg_logprob overrides it.
+        is_silent = False
+        thr = self.config.no_speech_threshold
+        if thr is not None and no_speech_prob is not None:
+            is_silent = no_speech_prob > thr
+            if (
+                is_silent
+                and self.config.logprob_threshold is not None
+                and avg_logprob is not None
+                and avg_logprob > self.config.logprob_threshold
+            ):
+                is_silent = False
         return TranscriptionResult(
-            text=text,
+            text="" if is_silent else text,
             tokens=np.asarray(tokens),
             length=length,
             language=language,
@@ -488,6 +533,8 @@ class Engine:
             compression_ratio=cr,
             temperature=temperature,
             words=words,
+            no_speech_prob=no_speech_prob,
+            is_silent=is_silent,
         )
 
     def transcribe_long(
@@ -586,7 +633,7 @@ class Engine:
         # not applied on this path: retrying a subset of rows would need the
         # failing audio re-sharded across hosts — run the schedule's first
         # temperature only (the common multi-host batch workload is T=0).
-        tokens, lengths, avg_lp, mel_ms, model_ms = self._run(global_arr)
+        tokens, lengths, avg_lp, _nsp, mel_ms, model_ms = self._run(global_arr)
 
         # Global row layout is process-major with per-process zero padding to
         # a multiple of the data-axis size (multihost.global_batch); rebuild
@@ -739,12 +786,12 @@ class Monolith(Engine):
     def _exec(self, batch, temperature=None, rng=None):
         """One device run → (tokens, lengths, avg_logprob or None) on host."""
         if temperature is not None:
-            tokens, lengths, avg_lp = self._sampling_pipeline(
+            tokens, lengths, avg_lp, nsp = self._sampling_pipeline(
                 self.assets.params, self._place_batch(batch), self._filters,
                 jnp.float32(temperature), rng,
             )
         else:
-            tokens, lengths, avg_lp = self._pipeline(
+            tokens, lengths, avg_lp, nsp = self._pipeline(
                 self.assets.params, self._place_batch(batch), self._filters
             )
         tokens = self._to_host(tokens)
@@ -752,15 +799,16 @@ class Monolith(Engine):
             tokens,
             self._to_host(lengths),
             None if avg_lp is None else self._to_host(avg_lp),
+            None if nsp is None else self._to_host(nsp),
         )
 
     def _run(self, batch: np.ndarray, temperature=None, rng=None):
         t0 = time.perf_counter()
-        tokens, lengths, avg_lp = self._exec(batch, temperature, rng)
+        tokens, lengths, avg_lp, nsp = self._exec(batch, temperature, rng)
         dt = (time.perf_counter() - t0) * 1e3
         # mel_ms=None: the mel stage is fused into the single program, there
         # is no separate measurement (the round-1 "0.0 ms" read as one).
-        return tokens, lengths, avg_lp, None, dt
+        return tokens, lengths, avg_lp, nsp, None, dt
 
 
 class EncDec(Engine):
@@ -802,17 +850,20 @@ class EncDec(Engine):
         )
         t1 = time.perf_counter()
         if temperature is not None:
-            tokens, lengths, avg_lp = self._decode_sampling_jit(
+            tokens, lengths, avg_lp, nsp = self._decode_sampling_jit(
                 self.assets.params, enc_out, jnp.float32(temperature), rng
             )
         else:
-            tokens, lengths, avg_lp = self._decode_jit(self.assets.params, enc_out)
+            tokens, lengths, avg_lp, nsp = self._decode_jit(
+                self.assets.params, enc_out
+            )
         tokens = self._to_host(tokens)
         t2 = time.perf_counter()
         return (
             tokens,
             self._to_host(lengths),
             None if avg_lp is None else self._to_host(avg_lp),
+            None if nsp is None else self._to_host(nsp),
             (t1 - t0) * 1e3,
             (t2 - t1) * 1e3,
         )
