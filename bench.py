@@ -50,6 +50,17 @@ NORTH_STAR_PER_CHIP = 500.0  # 2000 audio-s/s per 4-chip v5p host, large-v3
 def main():
     import jax
 
+    # Persistent compilation cache: the large-v3 beam-5 monolith takes
+    # multiple minutes of XLA compile; caching it makes repeat bench runs
+    # (and the driver's end-of-round run) start from a warm executable.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # noqa: BLE001 — older jax: cache is best-effort
+        pass
+
     from whisper_tpu.config import MODEL_DIMS, EngineConfig
     from whisper_tpu.engine import EngineType, create_engine
 

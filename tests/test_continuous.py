@@ -179,6 +179,95 @@ def test_occupancy_metric(engine):
     with ContinuousTranscriber(engine, n_slots=4, prefill_batch=2) as ct:
         [f.result(timeout=120) for f in [ct.submit(u) for u in _utterances(2)]]
         occ = ct.occupancy
+        eff = ct.dispatch_efficiency
     assert 0.0 < occ <= 1.0
     # 2 utterances in a 4-slot pool can never exceed half occupancy.
     assert occ <= 0.5 + 1e-9
+    # Bucketing dispatches at most the full pool, so efficiency >= occupancy.
+    assert eff >= occ - 1e-9
+
+
+# --- occupancy bucketing (VERDICT round-1 weak #10) ---------------------------
+
+
+def test_bucketed_dispatch_compacts_and_matches_static(engine):
+    """Occupied slots stranded above the bucket boundary are compacted down
+    (move_slot) and decoding continues on the sliced sub-pool — results stay
+    token-identical to the static engine."""
+    from concurrent.futures import Future
+
+    import jax.numpy as jnp
+
+    from whisper_tpu.engine.serving import _ContinuousBase, _Request
+
+    utts = _utterances(2, seed=21)
+    expected = [engine.transcribe(u) for u in utts]
+
+    base = _ContinuousBase(engine, n_slots=4, prefill_batch=2)
+    assert base._buckets == [2, 4]
+    reqs = [_Request(u, Future()) for u in utts]
+    pack = base._run_prefill(reqs)
+    # Insert at the HIGH slots so the first bucketed dispatch must compact.
+    base._state = base._insert(base._state, jnp.int32(2), pack, 0)
+    base._state = base._insert(base._state, jnp.int32(3), pack, 1)
+    base._slot_futures[2] = reqs[0].future
+    base._slot_futures[3] = reqs[1].future
+
+    base._state = base._dispatch_step()
+    # 2 occupied → bucket 2; slots 3,2 moved down to 0,1.
+    assert base._dispatched_slot_steps == 2
+    assert [f is not None for f in base._slot_futures] == [
+        True, True, False, False,
+    ]
+    assert base._slot_futures[0] is reqs[1].future  # highest src moved first
+    assert base._slot_futures[1] is reqs[0].future
+
+    for _ in range(64):
+        base._harvest()
+        if all(f is None for f in base._slot_futures):
+            break
+        base._state = base._dispatch_step()
+    assert all(f is None for f in base._slot_futures)
+    # Every dispatch after compaction ran the half-pool bucket.
+    assert base._dispatched_slot_steps == 2 * base._step_dispatches
+    for req, exp in zip(reqs, expected):
+        got = req.future.result(timeout=0)
+        np.testing.assert_array_equal(
+            got.tokens[: got.length], exp.tokens[: exp.length]
+        )
+        assert got.text == exp.text
+
+
+def test_bucketed_parity_under_churn(engine):
+    """End-to-end: staggered arrivals over a bucketed pool (buckets [2,4])
+    shrink/grow the dispatch size mid-stream; token parity holds throughout."""
+    import time
+
+    utts = _utterances(6, seed=23)
+    expected = [engine.transcribe(u) for u in utts]
+    with ContinuousTranscriber(engine, n_slots=4, prefill_batch=1) as ct:
+        futures = []
+        for u in utts:
+            futures.append(ct.submit(u))
+            time.sleep(0.05)
+        results = [f.result(timeout=180) for f in futures]
+        assert ct.dispatch_efficiency >= ct.occupancy - 1e-9
+    for exp, got in zip(expected, results):
+        np.testing.assert_array_equal(
+            got.tokens[: got.length], exp.tokens[: exp.length]
+        )
+
+
+def test_slot_buckets_disabled(engine):
+    utts = _utterances(3, seed=25)
+    expected = [engine.transcribe(u) for u in utts]
+    with ContinuousTranscriber(
+        engine, n_slots=4, prefill_batch=2, slot_buckets=[4]
+    ) as ct:
+        results = [f.result(timeout=120) for f in [ct.submit(u) for u in utts]]
+        # Without bucketing every dispatch runs the full pool.
+        assert ct._dispatched_slot_steps == 4 * ct._step_dispatches
+    for exp, got in zip(expected, results):
+        np.testing.assert_array_equal(
+            got.tokens[: got.length], exp.tokens[: exp.length]
+        )
