@@ -163,6 +163,7 @@ class TranscribeServer:
         }
         if self.mode == "continuous" and self._transcriber is not None:
             out["occupancy"] = self._transcriber.occupancy
+            out["dispatch_efficiency"] = self._transcriber.dispatch_efficiency
         return out
 
     # --- lifecycle ---------------------------------------------------------
