@@ -129,13 +129,28 @@ def _engine_from_args(args):
 
 def _cmd_transcribe(args) -> int:
     engine = _engine_from_args(args)
-    wavs = [p for p in args.inputs if not p.endswith((".pcm", ".raw"))]
-    if len(wavs) == len(args.inputs) and len(args.inputs) > 1:
-        # Many WAVs → one batched device run via the native loader when built.
-        results = engine.transcribe_files(args.inputs)
+    if getattr(args, "long", False):
+        # VAD-chunked any-duration mode: each file fans out to one batch.
+        results = [engine.transcribe_long(p) for p in args.inputs]
     else:
-        results = [engine.transcribe(p) for p in args.inputs]
+        wavs = [p for p in args.inputs if not p.endswith((".pcm", ".raw"))]
+        if len(wavs) == len(args.inputs) and len(args.inputs) > 1:
+            # Many WAVs → one batched device run via the native loader.
+            results = engine.transcribe_files(args.inputs)
+        else:
+            results = [engine.transcribe(p) for p in args.inputs]
+    if getattr(args, "output_format", None):
+        from whisper_tpu.utils.writers import write_result
+
+        for path, result in zip(args.inputs, results):
+            for written in write_result(
+                result, path, args.output_format, args.output_dir
+            ):
+                print(written, file=sys.stderr)
     for result in results:
+        if getattr(result, "chunks", None) is not None:  # long mode
+            print(result.text)
+            continue
         text = result.clean_text() if args.clean else result.text
         print(text)
         if result.words:
@@ -420,6 +435,17 @@ def build_parser() -> argparse.ArgumentParser:
     _add_engine_args(t)
     t.add_argument("--clean", action="store_true", help="collapse extra spaces")
     t.add_argument("--verbose", action="store_true")
+    t.add_argument(
+        "--long", action="store_true",
+        help="any-duration mode: VAD-segmented chunks, one batched run",
+    )
+    t.add_argument(
+        "--output-format", default=None,
+        choices=["txt", "srt", "vtt", "tsv", "json", "all"],
+        help="also write <basename>.<fmt> per input (subtitles/structured)",
+    )
+    t.add_argument("--output-dir", default=".",
+                   help="directory for --output-format files")
     t.set_defaults(fn=_cmd_transcribe)
 
     ec = sub.add_parser(
