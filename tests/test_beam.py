@@ -346,3 +346,106 @@ def test_topk_wide_tie_order():
     x = jnp.asarray([[1.0, 3.0, 3.0, 3.0, 0.0]])
     _, idx = topk_wide(x, 3)
     assert idx.tolist() == [[1, 2, 3]]  # equal values: lowest index first
+
+
+class TestReorderCache:
+    """reorder_cache must be an EXACT permutation (bitwise) in every storage
+    dtype — the int8-bitcast fast path for fp8 caches included."""
+
+    @pytest.mark.parametrize(
+        "dtype", ["float32", "bfloat16", "float8_e4m3fn", "float8_e5m2"]
+    )
+    def test_matches_take(self, dtype):
+        from whisper_tpu.decode.beam import reorder_cache
+
+        rng = np.random.default_rng(5)
+        dt = jnp.dtype(dtype)
+        bk, l, t, h, dh = 6, 2, 5, 3, 4
+        cache = {
+            n: jnp.asarray(
+                rng.standard_normal((l, bk, t, h, dh)), jnp.float32
+            ).astype(dt)
+            for n in ("k", "v")
+        }
+        idx = jnp.asarray([3, 3, 0, 5, 1, 2], jnp.int32)  # with duplicates
+        out = reorder_cache(cache, idx, bk)
+        for n in ("k", "v"):
+            expect = jnp.take(cache[n], idx, axis=1)
+            assert out[n].dtype == dt
+            np.testing.assert_array_equal(
+                np.asarray(out[n]).view(np.uint8),
+                np.asarray(expect).view(np.uint8),
+            )
+
+
+class TestCtxBucketing:
+    """Bucketed KV read windows (decoder.ctx_limit + the lax.switch ladders)
+    must be BIT-IDENTICAL to full-window decoding: positions outside the
+    window carry exactly-zero softmax weight."""
+
+    def test_beam_bucketed_parity(self):
+        dims = MODEL_DIMS["dev"]
+        eot = 50257
+        params = init_params(dims, jax.random.PRNGKey(3), dtype=jnp.float32)
+        mel = jax.random.normal(jax.random.PRNGKey(4), (2, dims.n_mels, 3000))
+        enc_out = encode(params, mel, dims)
+        prompt = jnp.tile(
+            jnp.asarray([[50258, 50259, 50360, 50364]], jnp.int32), (2, 1)
+        )
+        kw = dict(dims=dims, eot=eot, max_new_tokens=9, beam_size=3)
+        full = beam_decode(params, enc_out, prompt, ctx_bucket=0, **kw)
+        bucketed = beam_decode(params, enc_out, prompt, ctx_bucket=4, **kw)
+        np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(bucketed[0]))
+        np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(bucketed[1]))
+        np.testing.assert_allclose(
+            np.asarray(full[2]), np.asarray(bucketed[2]), rtol=1e-6
+        )
+
+    def test_greedy_bucketed_parity(self):
+        from whisper_tpu.decode.greedy import greedy_decode
+
+        dims = MODEL_DIMS["dev"]
+        eot = 50257
+        params = init_params(dims, jax.random.PRNGKey(5), dtype=jnp.float32)
+        mel = jax.random.normal(jax.random.PRNGKey(6), (2, dims.n_mels, 3000))
+        enc_out = encode(params, mel, dims)
+        prompt = jnp.tile(
+            jnp.asarray([[50258, 50259, 50360, 50364]], jnp.int32), (2, 1)
+        )
+        kw = dict(dims=dims, eot=eot, max_new_tokens=10)
+        full = greedy_decode(params, enc_out, prompt, ctx_bucket=None, **kw)
+        bucketed = greedy_decode(params, enc_out, prompt, ctx_bucket=4, **kw)
+        np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(bucketed[0]))
+        np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(bucketed[1]))
+
+    def test_reorder_window_matches_full(self):
+        from whisper_tpu.decode.beam import reorder_cache, reorder_cache_window
+
+        rng = np.random.default_rng(9)
+        bk, l, t, h, dh = 6, 2, 8, 3, 4
+        cache = {
+            n: jnp.asarray(rng.standard_normal((l, bk, t, h, dh)), jnp.float32)
+            for n in ("k", "v")
+        }
+        # zero the "unwritten" tail the window contract assumes
+        cache = {n: v.at[:, :, 5:].set(0.0) for n, v in cache.items()}
+        idx = jnp.asarray([2, 0, 0, 4, 5, 1], jnp.int32)
+        full = reorder_cache(cache, idx, bk)
+        win = reorder_cache_window(cache, idx, bk, limit=5)
+        for n in ("k", "v"):
+            np.testing.assert_array_equal(np.asarray(full[n]), np.asarray(win[n]))
+
+
+def test_pallas_permute_rows_interpret():
+    """ops/gather.py kernel logic (scalar-prefetched row DMA) on CPU via
+    Pallas interpret mode: bitwise equal to jnp.take, dups included."""
+    from whisper_tpu.ops.gather import permute_rows, supported
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((3, 5, 4, 2, 64)), jnp.float32)
+    assert supported(x.shape)
+    idx = jnp.asarray([4, 4, 0, 2, 1], jnp.int32)
+    out = permute_rows(x, idx, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(jnp.take(x, idx, axis=1))
+    )

@@ -230,3 +230,70 @@ if BEAM > 1:
 
     timed("cache reorder: one-hot matmul", cache0, onehot_step,
           per_iter_gb=2 * cache_gb)
+
+    if KV.itemsize == 1:
+        # Permutation as int8 one-hot matmul on the fp8 cache BITCAST to
+        # int8: a one-hot row picks one stored byte per output and int32
+        # accumulation is exact, so the permuted bytes round-trip — no
+        # fp8->bf16 operand conversion, and int8 MXU throughput is 2x bf16.
+        def onehot_i8_step(c, i):
+            perm = jax.nn.one_hot(rot, BK, dtype=jnp.int8)
+
+            def apply(x):
+                xi = jax.lax.bitcast_convert_type(x, jnp.int8)
+                y = jnp.einsum(
+                    "nj,ljthd->lnthd", perm, xi,
+                    preferred_element_type=jnp.int32,
+                )
+                return jax.lax.bitcast_convert_type(
+                    y.astype(jnp.int8), x.dtype
+                )
+
+            return {n: apply(v) for n, v in c.items()}
+
+        timed("cache reorder: int8-bitcast matmul", cache0, onehot_i8_step,
+              per_iter_gb=2 * cache_gb)
+
+# --- self-attention, T-layout cache [L, BK, H, DH, CTX] ----------------------
+ckT = jax.random.normal(key, (L, BK, H, DH, CTX), jnp.bfloat16).astype(KV)
+cvT = jax.random.normal(key, (L, BK, H, DH, CTX), jnp.bfloat16).astype(KV)
+maskT = jnp.zeros((1, 1, 1, CTX), jnp.float32)
+
+
+def self_T_step(carry, i):
+    qc, ckT, cvT = carry
+
+    def one(inner, l):
+        h, ckT, cvT = inner
+        new = h[:, 0].reshape(BK, H, DH)[None, :, :, :, None]  # [1,BK,H,DH,1]
+        ckT = jax.lax.dynamic_update_slice(
+            ckT, new.astype(ckT.dtype), (l, 0, 0, 0, 100)
+        )
+        cvT = jax.lax.dynamic_update_slice(
+            cvT, new.astype(cvT.dtype), (l, 0, 0, 0, 100)
+        )
+        kT = jax.lax.dynamic_index_in_dim(ckT, l, 0, keepdims=False)
+        vT = jax.lax.dynamic_index_in_dim(cvT, l, 0, keepdims=False)
+        if kT.dtype.itemsize == 1:
+            kT = kT.astype(h.dtype)
+        uvT = vT.astype(h.dtype) if vT.dtype.itemsize == 1 else vT
+        qt = jnp.swapaxes(h, 1, 2)  # [BK, H, 1, DH]
+        scores = jnp.einsum(
+            "bhqd,bhdk->bhqk", qt, kT, preferred_element_type=jnp.float32
+        ) * (1.0 / float(DH) ** 0.5)
+        w = jax.nn.softmax(scores + maskT, axis=-1)
+        o = jnp.einsum(
+            "bhqk,bhdk->bhqd", w.astype(uvT.dtype), uvT,
+            preferred_element_type=jnp.float32,
+        )
+        o = jnp.swapaxes(o, 1, 2).astype(h.dtype)  # [BK, 1, H, DH]
+        return (o, ckT, cvT), None
+
+    (out, ckT, cvT), _ = jax.lax.scan(
+        one, (qc, ckT, cvT), jnp.arange(L, dtype=jnp.int32)
+    )
+    return (out, ckT, cvT)
+
+
+timed(f"self-attn+update x{L} T-layout (read {cache_gb:.2f} GB)",
+      (q0, ckT, cvT), self_T_step, per_iter_gb=cache_gb)

@@ -122,19 +122,30 @@ class BeamState(NamedTuple):
     fin: FinishedSet
 
 
-def reorder_cache(cache: KVCache, gather_idx: jnp.ndarray, bk: int) -> KVCache:
-    """Beam-reshuffle the self-attention cache [L, B*K, ctx, H, Dh] with a
-    one-hot MATMUL instead of a gather.
+def reorder_cache(
+    cache: KVCache,
+    gather_idx: jnp.ndarray,
+    bk: int,
+    use_pallas: Optional[bool] = None,
+) -> KVCache:
+    """Beam-reshuffle the self-attention cache [L, B*K, ctx, H, Dh].
 
-    ``jnp.take`` along the second axis lowers to an XLA gather that TPU
-    executes as per-index dynamic slices — measured ~90 ms/step on large-v3
-    beam=5 (the entire beam slowdown). As a [BK, BK] one-hot contraction the
-    reshuffle streams the cache once through the MXU at memory bandwidth.
-    Exact: each one-hot row has a single 1.0, so every output element is
-    one product x*1 and a sum over zeros; sub-byte caches round-trip through
-    bf16 losslessly (e4m3/e5m2 ⊂ bf16).
+    Default path: a [BK, BK] one-hot contraction — exact: each one-hot row
+    has a single 1.0, so every output element is one product x*1 and a sum
+    over zeros; sub-byte caches round-trip through bf16 losslessly
+    (e4m3/e5m2 ⊂ bf16). Measured on large-v3 beam=5 fp8 (TPU v5e,
+    tools/ablate_step.py): XLA gather 66 ms/step, one-hot matmul ~12 ms,
+    int8-bitcast one-hot 17 ms (int32 accumulator materializes), Pallas
+    per-row DMA kernel (ops/gather.py, ``use_pallas=True``) ~12 ms — the
+    elementwise-copy floor is ~3.4 ms, but no formulation tested reaches
+    it, so the one-hot matmul stays the default and the win comes from
+    shrinking the window instead (reorder_cache_window).
     """
     dtype = cache["k"].dtype
+    if use_pallas:
+        from whisper_tpu.ops.gather import permute_rows
+
+        return {n: permute_rows(v, gather_idx) for n, v in cache.items()}
     compute = jnp.bfloat16 if dtype.itemsize == 1 else dtype
     perm = jax.nn.one_hot(gather_idx, bk, dtype=compute)  # [BK(new), BK(old)]
 
@@ -146,6 +157,26 @@ def reorder_cache(cache: KVCache, gather_idx: jnp.ndarray, bk: int) -> KVCache:
         return y.astype(dtype)
 
     return {"k": apply(cache["k"]), "v": apply(cache["v"])}
+
+
+def reorder_cache_window(
+    cache: KVCache, gather_idx: jnp.ndarray, bk: int, limit: int
+) -> KVCache:
+    """reorder_cache over only the first ``limit`` cache positions (static).
+
+    Positions ≥ limit have never been written (zeros) when the caller keeps
+    limit ≥ the current decode position, so permuting them is pure wasted
+    HBM traffic — this streams the covering window only and writes it back
+    in place."""
+    ctx = cache["k"].shape[2]
+    if limit >= ctx:
+        return reorder_cache(cache, gather_idx, bk)
+    win = {n: v[:, :, :limit] for n, v in cache.items()}
+    win = reorder_cache(win, gather_idx, bk)
+    return {
+        n: jax.lax.dynamic_update_slice(v, win[n], (0, 0, 0, 0, 0))
+        for n, v in cache.items()
+    }
 
 
 class Selection(NamedTuple):
@@ -259,6 +290,8 @@ def beam_decode(
     cross_kv: Optional[KVCache] = None,  # unreplicated [L, B, H, Dh, Tk]
     kv_cache_dtype=None,  # storage dtype for caches (None => compute_dtype)
     no_speech: Optional[Tuple[int, int]] = None,  # (sot_index, nospeech_id)
+    ctx_bucket: Optional[int] = None,  # read-window granularity; None =
+    # decode.greedy.CTX_BUCKET (shared default)
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best
     finished hypothesis per batch item (length-normalized score) — plus
@@ -284,11 +317,20 @@ def beam_decode(
             logits = rules.apply(logits, tokens, pos, sample_begin)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
+    from whisper_tpu.decode.greedy import CTX_BUCKET, ctx_bucket_limits
+
+    if ctx_bucket is None:
+        ctx_bucket = CTX_BUCKET
+    limits = (
+        ctx_bucket_limits(total_len, ctx_bucket) if ctx_bucket else [total_len]
+    )
+
     # --- prefill ONCE per utterance (beams are identical at the prompt),
     # then fan the self-cache out to the beam axis ---
     cache_b = init_kv_cache(dims, b, total_len, dtype=kv_cache_dtype or compute_dtype)
     logits, cache_b = decoder_prefill(
-        params, prompt, cache_b, cross_kv, dims, compute_dtype
+        params, prompt, cache_b, cross_kv, dims, compute_dtype,
+        ctx_limit=next(l for l in limits if l >= p_len),
     )
     if no_speech is not None:
         sot_index, nospeech_id = no_speech
@@ -332,12 +374,35 @@ def beam_decode(
     def cond(s: BeamState):
         return (s.pos < total_len) & ~jnp.all(s.fin.valid)
 
+    def _step_branch(limit):
+        def branch(prev, pos, cache):
+            return decoder_step(
+                params, prev, pos, cache, cross_kv, dims, compute_dtype,
+                beam_width=k, ctx_limit=limit,
+            )
+
+        return branch
+
+    step_branches = [_step_branch(l) for l in limits]
+    reorder_branches = [
+        (lambda cache, rows, _l=l: reorder_cache_window(cache, rows, bk, _l))
+        for l in limits
+    ]
+
     def body(s: BeamState) -> BeamState:
         prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, 1, keepdims=False)
-        logits, cache = decoder_step(
-            params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype,
-            beam_width=k,
-        )
+        if len(limits) == 1:
+            bucket_idx = None
+            logits, cache = step_branches[0](prev, s.pos - 1, s.cache)
+        else:
+            # Query position s.pos-1 writes its K row at that index, so the
+            # covering window is bucket (s.pos-1)//B (greedy.py ladder).
+            bucket_idx = jnp.minimum(
+                (s.pos - 1) // limits[0], len(limits) - 1
+            ).astype(jnp.int32)
+            logits, cache = jax.lax.switch(
+                bucket_idx, step_branches, prev, s.pos - 1, s.cache
+            )
         lp = logprobs_of(logits, s.tokens, s.pos)  # [B*K, V]
 
         # openai's candidate pool: top (K+1) per beam (≥ K non-EOT overall),
@@ -387,7 +452,12 @@ def beam_decode(
             tokens, act_tok.reshape(bk), s.pos, axis=1
         )
         if "reorder" not in _ABLATE:  # ablation: perf attribution only
-            cache = reorder_cache(cache, act_rows, bk)
+            if bucket_idx is None:
+                cache = reorder_cache(cache, act_rows, bk)
+            else:
+                cache = jax.lax.switch(
+                    bucket_idx, reorder_branches, cache, act_rows
+                )
         return BeamState(
             s.pos + 1, tokens, sel.act_scores.reshape(bk), cache, fin
         )

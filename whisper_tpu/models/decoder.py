@@ -83,8 +83,18 @@ def _decoder_forward(
     dims: ModelDims,
     compute_dtype=jnp.float32,
     beam_width: int = 1,
+    ctx_limit: int | None = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Shared body for prefill (T = prompt length) and step (T = 1).
+
+    ``ctx_limit`` (static) bounds the self-attention READ to the first
+    ``ctx_limit`` cache positions — the decode loops pass the smallest
+    64-multiple covering the current position (decode/greedy.py switch
+    ladder), so an early step streams a fraction of the cache instead of
+    the whole preallocated window. Exact: the caller guarantees every
+    written position is < ctx_limit, and rows beyond it carry mask -inf —
+    their softmax weight is exactly 0.0 in f32, so removing them leaves
+    the logits bit-identical. Cache WRITES always target the full buffer.
 
     ``beam_width=K>1`` means the token batch axis is a folded [B*K] beam axis
     while ``cross_kv`` stays at true batch B: all K beams of an utterance
@@ -100,6 +110,8 @@ def _decoder_forward(
     n_head = dims.n_text_head
     b, t = tokens.shape
     ctx = cache["k"].shape[2]
+    if ctx_limit is not None:
+        ctx = min(ctx, int(ctx_limit))
     pos_offset = jnp.asarray(pos_offset)
     per_row = pos_offset.ndim == 1
     if per_row and t != 1:
@@ -160,12 +172,14 @@ def _decoder_forward(
         v_new = layers.split_heads(layers.linear(bp["attn"]["v"], hn), n_head)
         cache_k = update_cache(cache_k, layer, k_new)
         cache_v = update_cache(cache_v, layer, v_new)
+        # Static read-window slice (fuses into the attention matmuls — no
+        # copy): only the covering ctx bucket streams from HBM.
         k_cache_l = jax.lax.dynamic_index_in_dim(
             cache_k, layer, 0, keepdims=False
-        )
+        )[:, :ctx]
         v_cache_l = jax.lax.dynamic_index_in_dim(
             cache_v, layer, 0, keepdims=False
-        )
+        )[:, :ctx]
         attn_out = layers.qkv_attention(q, k_cache_l, v_cache_l, mask)
         h = h + layers.linear(bp["attn"]["o"], layers.merge_heads(attn_out))
 
@@ -210,11 +224,13 @@ def decoder_prefill(
     cross_kv: KVCache,
     dims: ModelDims,
     compute_dtype=jnp.float32,
+    ctx_limit: int | None = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Run the static prompt through the decoder once, filling cache[0:P].
     Returns (logits [B, P, V], cache)."""
     return _decoder_forward(
-        params, prompt, jnp.int32(0), cache, cross_kv, dims, compute_dtype
+        params, prompt, jnp.int32(0), cache, cross_kv, dims, compute_dtype,
+        ctx_limit=ctx_limit,
     )
 
 
@@ -227,13 +243,15 @@ def decoder_step(
     dims: ModelDims,
     compute_dtype=jnp.float32,
     beam_width: int = 1,
+    ctx_limit: int | None = None,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One autoregressive step. Returns (logits [B, V], updated cache).
 
     ``beam_width=K``: token/cache batch axis is [B*K] while cross_kv stays at
-    B — beams share one cross-KV read (see _decoder_forward)."""
+    B — beams share one cross-KV read (see _decoder_forward).
+    ``ctx_limit`` (static): see _decoder_forward — requires pos < ctx_limit."""
     logits, cache = _decoder_forward(
         params, token[:, None], pos, cache, cross_kv, dims, compute_dtype,
-        beam_width=beam_width,
+        beam_width=beam_width, ctx_limit=ctx_limit,
     )
     return logits[:, 0, :], cache
