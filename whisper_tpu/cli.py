@@ -129,7 +129,16 @@ def _engine_from_args(args):
 
 def _cmd_transcribe(args) -> int:
     engine = _engine_from_args(args)
-    if getattr(args, "long", False):
+    if getattr(args, "sequential", False):
+        # openai seek-loop mode: sliding window + previous-text conditioning.
+        results = [
+            engine.transcribe_sequential(
+                p,
+                condition_on_previous_text=not args.no_condition,
+            )
+            for p in args.inputs
+        ]
+    elif getattr(args, "long", False):
         # VAD-chunked any-duration mode: each file fans out to one batch.
         results = [engine.transcribe_long(p) for p in args.inputs]
     else:
@@ -438,6 +447,15 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "--long", action="store_true",
         help="any-duration mode: VAD-segmented chunks, one batched run",
+    )
+    t.add_argument(
+        "--sequential", action="store_true",
+        help="any-duration mode: openai seek loop with previous-text "
+        "conditioning (accuracy-first; --long is throughput-first)",
+    )
+    t.add_argument(
+        "--no-condition", action="store_true",
+        help="disable previous-text conditioning in --sequential",
     )
     t.add_argument(
         "--output-format", default=None,

@@ -1,0 +1,103 @@
+"""Sequential long-form transcription: the openai seek loop, TPU-shaped.
+
+openai-whisper's ``transcribe()`` walks an arbitrary-length file with a
+sliding 30 s window: decode a window with timestamps, advance ``seek`` to the
+end of the last *complete* segment (or the full window when the decode ran
+off the end), and condition the next window on the accumulated transcript
+(``condition_on_previous_text``). The reference app has no long-form story at
+all — it truncates at 30 s (whisper.cpp:698).
+
+whisper-tpu's primary long-form mode is VAD-chunked data-parallel batching
+(Engine.transcribe_long): maximum throughput, no cross-chunk conditioning.
+This module supplies the *sequential* alternative for accuracy-sensitive
+use: identical window semantics to openai, with two TPU adaptations —
+
+* **Prompt-length buckets.** openai re-tokenizes each window's conditioning
+  prefix at its natural length; under jit each distinct prompt length is a
+  fresh executable. The prefix is instead cropped to a small fixed set of
+  lengths (choose_prefix_len), so a long file stabilizes on ONE executable
+  (the full-context bucket) after the first few windows.
+* **Host/device split.** The per-window program is one jit (mel → encoder →
+  prefill → decode loop); the seek/conditioning logic is pure host Python
+  between windows — it is O(tokens) bookkeeping, not compute.
+
+Window advance semantics (openai transcribe.py ``timestamp`` handling):
+
+* consecutive timestamp pair(s) in the decode → segments up to the last
+  pair are final; seek advances to that pair's FIRST timestamp value
+  (= end of the last complete segment). The unfinished tail re-decodes in
+  the next window.
+* no consecutive pair → the whole window's segments are final; seek
+  advances the full window.
+* a minimum advance guards against a stuck loop on degenerate decodes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+# Fixed prefix-length menu (tokens). Totals = base prompt + 1 (<|startofprev|>)
+# + one of these; 222 ≈ openai's n_text_ctx//2 - 1 crop.
+PREFIX_LENS = (31, 63, 127, 222)
+MIN_ADVANCE_SECONDS = 1.0
+WINDOW_SECONDS = 30.0
+TIME_PER_TOKEN = 0.02
+
+
+def choose_prefix_len(n_prev: int) -> int:
+    """Crop length for ``n_prev`` available conditioning tokens: the smallest
+    menu entry that fits them all, else the largest (crop to the most recent
+    222 — openai keeps the last n_ctx//2 - 1). 0 when there is no context."""
+    if n_prev <= 0:
+        return 0
+    for cand in PREFIX_LENS:
+        if n_prev <= cand:
+            return cand
+    return PREFIX_LENS[-1]
+
+
+def crop_prefix(prev_tokens: Sequence[int]) -> List[int]:
+    """The conditioning prefix actually passed: last ``choose_prefix_len``
+    tokens, PADDED on the left by repeating the oldest kept token when the
+    menu entry exceeds the available count — padding with real in-context
+    text keeps the prompt semantically inert while making the length
+    static."""
+    n = len(prev_tokens)
+    keep = choose_prefix_len(n)
+    if keep == 0:
+        return []
+    kept = [int(t) for t in prev_tokens[-keep:]]
+    if len(kept) < keep:  # left-pad by repeating the oldest token
+        kept = [kept[0]] * (keep - len(kept)) + kept
+    return kept
+
+
+def window_emit_and_advance(
+    gen_tokens: Sequence[int],
+    beg: int,
+    eot: int,
+    window_seconds: float = WINDOW_SECONDS,
+) -> Tuple[List[int], float]:
+    """Split one window's GENERATED tokens (prompt excluded) into the tokens
+    whose segments are final this window, and the seek advance in seconds.
+
+    Implements the openai consecutive-timestamp rule (see module docstring).
+    """
+    toks: List[int] = []
+    for t in gen_tokens:
+        if t == eot:
+            break
+        toks.append(int(t))
+
+    is_ts = [t >= beg for t in toks]
+    last_pair_second = None  # index of the 2nd token of the last ts pair
+    for i in range(len(toks) - 1):
+        if is_ts[i] and is_ts[i + 1]:
+            last_pair_second = i + 1
+    if last_pair_second is not None:
+        advance = (toks[last_pair_second - 1] - beg) * TIME_PER_TOKEN
+        # keep through the closing ts; the pair's SECOND ts opens the next
+        # segment, which re-decodes in the next window (openai last_slice)
+        emit = toks[:last_pair_second]
+        return emit, max(advance, MIN_ADVANCE_SECONDS)
+    return toks, window_seconds

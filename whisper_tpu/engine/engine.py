@@ -586,6 +586,188 @@ class Engine:
         )
         return LongTranscriptionResult(text=text, offsets=offsets, chunks=results)
 
+    def transcribe_sequential(
+        self,
+        audio: Union[str, np.ndarray],
+        condition_on_previous_text: bool = True,
+    ) -> TranscriptionResult:
+        """openai-style sequential long-form transcription: a sliding 30 s
+        window with timestamp-driven seek and previous-text conditioning
+        (decode/sequential.py). Complements :meth:`transcribe_long` (VAD
+        chunk data-parallel, no cross-chunk conditioning): sequential
+        trades throughput for openai-equivalent accuracy semantics.
+
+        Returns one TranscriptionResult whose ``segments`` carry absolute
+        times across the whole file."""
+        from whisper_tpu.decode.segments import parse_segments
+        from whisper_tpu.decode.sequential import (
+            WINDOW_SECONDS,
+            crop_prefix,
+            window_emit_and_advance,
+        )
+
+        samples = (
+            self._read_audio(audio) if isinstance(audio, str)
+            else np.asarray(audio, dtype=np.float32)
+        )
+        st = self.vocab.specials
+        language = self.config.language
+        if language is None and self.config.multilingual:
+            language = self._detect_language_once(samples[:N_SAMPLES])
+
+        t_run = time.perf_counter()
+        seek = 0  # samples
+        prev_tokens: List[int] = []
+        all_segments: list = []
+        all_text_tokens: List[int] = []
+        model_ms = 0.0
+        n_total = max(len(samples), 1)
+        while seek < n_total:
+            window = np.zeros(N_SAMPLES, np.float32)
+            chunk = samples[seek : seek + N_SAMPLES]
+            window[: len(chunk)] = chunk
+
+            prefix = (
+                crop_prefix(prev_tokens)
+                if condition_on_previous_text
+                else []
+            )
+            prompt = build_prompt(
+                self.config.multilingual,
+                language=language,
+                task=self.config.task,
+                timestamps=True,
+                specials=st,
+                reference_quirks=self.config.reference_quirks,
+                prefix_tokens=prefix or None,
+                n_text_ctx=self.dims.n_text_ctx,
+            )
+            program = self._seq_program(len(prompt))
+            t0 = time.perf_counter()
+            tokens, lengths = program(
+                self.assets.params,
+                self._place_batch(window[None, :]),
+                self._filters,
+                jnp.asarray(np.asarray(prompt, np.int32)[None, :]),
+            )
+            tokens = self._to_host(tokens)[0]
+            length = int(self._to_host(lengths)[0])
+            model_ms += (time.perf_counter() - t0) * 1e3
+
+            gen = [int(t) for t in tokens[len(prompt) : length]]
+            emit, advance_s = window_emit_and_advance(gen, st.beg, st.eot)
+            segs = parse_segments(
+                self.vocab, emit, time_offset=seek / 16_000.0
+            )
+            all_segments.extend(segs)
+            for seg in segs:
+                all_text_tokens.extend(seg.tokens)
+                prev_tokens.extend(seg.tokens)
+            seek += int(advance_s * 16_000)
+
+        text = decode_tokens(self.vocab, all_text_tokens, True)
+        wall_s = time.perf_counter() - t_run
+        self.timer.record("model", model_ms / 1e3)
+        self.throughput.add(
+            audio_seconds=len(samples) / 16_000.0,
+            tokens=len(all_text_tokens),
+            utterances=1,
+            wall_s=wall_s,
+        )
+        return TranscriptionResult(
+            text=text,
+            tokens=np.asarray(all_text_tokens, np.int32),
+            length=len(all_text_tokens),
+            language=language or "",
+            segments=all_segments,
+            mel_ms=None,
+            model_ms=model_ms,
+        )
+
+    def _detect_language_once(self, samples: np.ndarray) -> str:
+        """One-shot language ID on the first window (sequential mode pins
+        the language for the whole file, like openai transcribe)."""
+        from whisper_tpu.decode.language import detect_language_tokens
+        from whisper_tpu.tokenizer.languages import lang_code
+
+        dims, cdt = self.dims, self._compute_dtype
+        window = np.zeros(N_SAMPLES, np.float32)
+        window[: len(samples)] = samples[:N_SAMPLES]
+
+        @jax.jit
+        def detect(params, samples, filters):
+            mel = log_mel_spectrogram(
+                samples, filters, n_mels=dims.n_mels,
+                compute_dtype=jnp.float32,
+            )
+            enc_out = self._enc_constraint(encode(params, mel.astype(cdt), dims))
+            return detect_language_tokens(
+                params, enc_out, dims, sot=self.vocab.specials.sot,
+                compute_dtype=cdt,
+            )
+
+        tok = int(
+            self._to_host(
+                detect(
+                    self.assets.params,
+                    self._place_batch(window[None, :]),
+                    self._filters,
+                )
+            )[0]
+        )
+        return lang_code(tok - self.vocab.specials.sot - 1)
+
+    def _seq_program(self, p_len: int):
+        """Per-prompt-length jit for sequential windows: mel → encoder →
+        timestamp-rule decode, prompt as a traced [1, P] argument. Cached —
+        the prefix-length menu (decode/sequential.py PREFIX_LENS) bounds the
+        executable count, and steady state reuses one."""
+        cache = getattr(self, "_seq_programs", None)
+        if cache is None:
+            cache = self._seq_programs = {}
+        if p_len in cache:
+            return cache[p_len]
+        if getattr(self, "_seq_rules_cache", None) is None:
+            self._seq_rules_cache = make_rules(
+                self.vocab,
+                timestamps=True,
+                suppress_blank=self.config.suppress_blank,
+                suppress_nonspeech=self.config.suppress_nonspeech,
+                n_vocab=self.dims.n_vocab,
+            )
+        rules = self._seq_rules_cache
+        dims, cdt = self.dims, self._compute_dtype
+        budget = dims.n_text_ctx - p_len
+        max_new = (
+            min(self.config.max_new_tokens, budget)
+            if self.config.max_new_tokens is not None
+            else budget
+        )
+        eot = self.vocab.specials.eot
+        beam = self.config.beam_size
+
+        @jax.jit
+        def program(params, samples, filters, prompts):
+            mel = log_mel_spectrogram(
+                samples, filters, n_mels=dims.n_mels,
+                compute_dtype=jnp.float32,
+            )
+            enc_out = self._enc_constraint(encode(params, mel.astype(cdt), dims))
+            common = dict(
+                dims=dims, eot=eot, max_new_tokens=max_new, rules=rules,
+                compute_dtype=cdt, kv_cache_dtype=self._kv_dtype,
+            )
+            if beam > 1:
+                out = beam_decode(
+                    params, enc_out, prompts, beam_size=beam, **common
+                )
+            else:
+                out = greedy_decode(params, enc_out, prompts, **common)
+            return out[0], out[1]
+
+        cache[p_len] = program
+        return program
+
     def transcribe_files(
         self, paths: Sequence[str], omit_special_tokens: bool = True
     ) -> List[TranscriptionResult]:
