@@ -92,6 +92,26 @@ def main():
     best = min(times)
     audio_seconds = BATCH * 30.0
     value = audio_seconds / best
+
+    # Roofline accounting (VERDICT r2 next-#2): MFU + HBM utilization so the
+    # artifact shows how far from speed-of-light the chip ran, not just
+    # audio-s/s. Random logits essentially never emit EOT, so every row
+    # decodes the full budget; generated tokens per row = MAX_NEW.
+    from whisper_tpu.utils.roofline import utilization
+
+    p_len = int(engine._prompt.shape[0])
+    roofline = utilization(
+        dims,
+        batch=BATCH,
+        beam=BEAM,
+        p_len=p_len,
+        new_tokens=float(MAX_NEW),
+        total_len=p_len + MAX_NEW,
+        wall_s=best,
+        quant=QUANT,
+        kv_dtype=KV_DTYPE,
+        device_kind=jax.devices()[0].device_kind,
+    )
     print(
         json.dumps(
             {
@@ -99,6 +119,9 @@ def main():
                 "value": round(value, 2),
                 "unit": "audio-s/s",
                 "vs_baseline": round(value / NORTH_STAR_PER_CHIP, 3),
+                "mfu": roofline.get("mfu"),
+                "hbm_utilization": roofline.get("hbm_utilization"),
+                "roofline": roofline,
                 "config": {
                     "model": MODEL,
                     "engine": "monolith (create_engine path: rules, "

@@ -249,6 +249,7 @@ def slow_beam_reference(
     return tokens, lengths, scores
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("eot_boost", [0.0, 4.0])
 def test_beam_differential_vs_openai_reference(seed, eot_boost):
@@ -287,6 +288,7 @@ def test_beam_differential_vs_openai_reference(seed, eot_boost):
     np.testing.assert_allclose(np.asarray(scores), ref_scores, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_beam_finished_not_evicted_by_longer_actives():
     """A hypothesis that finishes early must survive even when active beams
     keep accumulating (the round-1 frozen-beam formulation could evict it).
@@ -308,6 +310,7 @@ def test_beam_finished_not_evicted_by_longer_actives():
     assert int(np.asarray(tokens)[0, prompt.shape[1]]) == eot
 
 
+@pytest.mark.slow
 def test_beam_cross_kv_not_replicated():
     """The decode program's cross-KV operand stays at batch B (shared across
     beams) — the K-fold replication would multiply the dominant HBM stream."""
@@ -378,6 +381,7 @@ class TestReorderCache:
             )
 
 
+@pytest.mark.slow
 class TestCtxBucketing:
     """Bucketed KV read windows (decoder.ctx_limit + the lax.switch ladders)
     must be BIT-IDENTICAL to full-window decoding: positions outside the

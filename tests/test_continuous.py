@@ -72,6 +72,7 @@ def test_staggered_arrivals(engine):
         )
 
 
+@pytest.mark.slow
 def test_with_rules_and_autodetect():
     # Multilingual + autodetect + suppression rules exercises the
     # vectorized-position rules path (decode/logits.py apply with [B] pos).

@@ -105,6 +105,7 @@ class TestDecoderParity:
         )
         np.testing.assert_allclose(np.asarray(got), want, atol=5e-4, rtol=1e-3)
 
+    @pytest.mark.slow
     def test_real_geometry_tiny_dims(self):
         """Production geometry at tiny width: 3000-frame mel → 1500 encoder
         positions (pins conv-stem stride/padding, which toy 60-frame inputs

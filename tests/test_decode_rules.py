@@ -134,6 +134,7 @@ class TestRuleApplication:
 
 
 class TestBeam:
+    @pytest.mark.slow
     def test_beam1_matches_greedy_when_unique(self, params, enc_out):
         prompt = jnp.array([[1, 2], [3, 4]], jnp.int32)
         g_tokens, g_lengths = greedy_decode(
@@ -145,6 +146,7 @@ class TestBeam:
         np.testing.assert_array_equal(np.asarray(g_tokens), np.asarray(b_tokens))
         np.testing.assert_array_equal(np.asarray(g_lengths), np.asarray(b_lengths))
 
+    @pytest.mark.slow
     def test_beam_score_not_worse_than_greedy(self, params, enc_out):
         # Beam-5's best normalized sum-logprob must be >= greedy's path score.
         prompt = jnp.array([[1, 2], [3, 4]], jnp.int32)

@@ -158,6 +158,7 @@ class TestBatchBucketing:
         assert [batch_bucket(b) for b in (1, 2, 3, 4, 5, 8, 9)] == \
             [1, 2, 4, 4, 8, 8, 16]
 
+    @pytest.mark.slow
     def test_varied_batch_sizes_bounded_compiles(self):
         """Batch sizes 1..5 land in buckets {1,2,4,8}: ≤4 executables instead
         of one per distinct size, and padded rows never leak into results."""

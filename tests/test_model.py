@@ -97,6 +97,7 @@ def naive_recompute_decode(params, enc_out, prompt, max_new):
 
 
 class TestGreedyDecode:
+    @pytest.mark.slow
     def test_kv_cache_matches_full_recompute(self, params, enc_out):
         prompt = jnp.array([[1, 2], [3, 4]], dtype=jnp.int32)
         max_new = 8

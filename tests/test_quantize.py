@@ -194,6 +194,7 @@ class TestCheckpointRoundtrip:
         )
 
 
+@pytest.mark.slow
 class TestShardedQuantized:
     def test_pspec_tree_congruent_and_executes(self, params, qparams):
         specs = quantize_pspecs(param_pspecs(DIMS), qparams)

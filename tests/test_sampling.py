@@ -107,6 +107,7 @@ class TestGumbelSampling:
             assert rb.avg_logprob is not None and rb.avg_logprob < 0.0
             assert rb.compression_ratio is not None
 
+    @pytest.mark.slow
     def test_sampling_deterministic_and_seed_sensitive(self, audio):
         e1 = create_engine(
             EngineType.MONOLITH, _cfg(temperature=1.0), seed=0
@@ -123,6 +124,7 @@ class TestGumbelSampling:
             list(a.tokens) != list(b.tokens) for a, b in zip(r1, r3)
         ), "different sampling seeds should diverge at T=1"
 
+    @pytest.mark.slow
     def test_avg_logprob_matches_teacher_forcing(self, audio):
         """sum-logprob accounting: re-score the sampled tokens by running
         the decoder over them and summing log_softmax at each choice."""
@@ -206,6 +208,7 @@ class TestFallbackOrchestration:
         res = eng.transcribe_batch(audio[:2])
         assert all(r.temperature == 1.0 for r in res)
 
+    @pytest.mark.slow
     def test_beam_primary_with_sampling_retries(self, audio):
         """Beam decodes the primary (T=0); failed rows retry via sampling —
         openai semantics. Beam scores feed the logprob gate."""

@@ -29,9 +29,9 @@ class TestPrefixBuckets:
         assert crop_prefix([]) == []
 
     def test_menu_is_static(self):
-        # every possible count maps into the fixed menu
+        # every possible count maps into the fixed menu (or 0 = not yet)
         seen = {choose_prefix_len(n) for n in range(1, 500)}
-        assert seen <= set(PREFIX_LENS)
+        assert seen <= set(PREFIX_LENS) | {0}
 
     def test_crop_keeps_most_recent(self):
         prev = list(range(1000, 1300))
@@ -39,11 +39,22 @@ class TestPrefixBuckets:
         assert len(out) == PREFIX_LENS[-1]
         assert out == prev[-PREFIX_LENS[-1]:]
 
-    def test_short_context_left_pads_to_bucket(self):
-        out = crop_prefix([7, 8, 9])
-        assert len(out) == choose_prefix_len(3) == PREFIX_LENS[0]
-        assert out[-3:] == [7, 8, 9]
-        assert set(out[:-3]) == {7}  # oldest kept token repeated
+    def test_short_context_skips_conditioning(self):
+        # Fewer tokens than the smallest bucket: NO conditioning rather than
+        # synthetic padding (repeated-token prompts trigger hallucination —
+        # ADVICE r2 #1); conditioning starts once a bucket's worth exists.
+        assert crop_prefix([7, 8, 9]) == []
+        prev = list(range(PREFIX_LENS[0]))
+        assert crop_prefix(prev) == prev  # exactly one bucket: all real
+
+    def test_crop_is_always_real_tokens(self):
+        # Between buckets, crop DOWN to the largest bucket that fits —
+        # every emitted token is real transcript, never padding.
+        n = PREFIX_LENS[1] + 5
+        prev = list(range(n))
+        out = crop_prefix(prev)
+        assert len(out) == PREFIX_LENS[1]
+        assert out == prev[-PREFIX_LENS[1]:]
 
 
 class TestWindowAdvance:
@@ -53,20 +64,31 @@ class TestWindowAdvance:
         assert adv == WINDOW_SECONDS
 
     def test_consecutive_pair_advances_to_segment_end(self):
-        toks = [ts(0.0), 10, 11, ts(2.5), ts(2.5), 12, ts(4.0)]
+        # Decode cut off mid-segment (ends on text): the pair's 2nd ts OPENS
+        # the unfinished segment, which re-decodes next window (openai
+        # last_slice); seek advances to the pair's timestamp value.
+        toks = [ts(0.0), 10, 11, ts(2.5), ts(2.5), 12]
         emit, adv = window_emit_and_advance(toks, BEG, EOT)
-        # final tokens: through the closing ts; the pair's 2nd ts OPENS
-        # the next segment and re-decodes next window (openai last_slice)
         assert emit == toks[:4]
         assert adv == pytest.approx(2.5)
 
     def test_last_pair_wins(self):
         toks = [
-            ts(0.0), 10, ts(1.0), ts(1.0), 11, ts(3.0), ts(3.0), 12, ts(5.0)
+            ts(0.0), 10, ts(1.0), ts(1.0), 11, ts(3.0), ts(3.0), 12
         ]
         emit, adv = window_emit_and_advance(toks, BEG, EOT)
         assert adv == pytest.approx(3.0)
         assert emit == toks[:6]
+
+    def test_single_timestamp_ending_finalizes_all(self):
+        # openai single_timestamp_ending (transcribe.py): a pair occurred
+        # earlier but the decode ENDED with [text, ts] — the final segment
+        # closed naturally, nothing follows: emit everything, advance the
+        # full window (no redundant re-decode of the last segment).
+        toks = [ts(0.0), 10, 11, ts(2.5), ts(2.5), 12, ts(4.0)]
+        emit, adv = window_emit_and_advance(toks, BEG, EOT)
+        assert emit == toks
+        assert adv == WINDOW_SECONDS
 
     def test_eot_truncates(self):
         toks = [ts(0.0), 10, ts(1.5), ts(1.5), EOT, 99, 99]

@@ -145,6 +145,7 @@ class TestEngineOnMesh:
         assert len(results) == 2 and all(r.length >= 4 for r in results)
 
 
+@pytest.mark.slow
 class TestDryrun:
     @pytest.mark.parametrize("n", [1, 2, 8])
     def test_dryrun(self, n):

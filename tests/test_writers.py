@@ -103,6 +103,25 @@ class TestSegmentIteration:
         assert [w["word"] for w in segs[0]["words"]] == ["First"]
         assert [w["word"] for w in segs[1]["words"]] == [" Second"]
 
+    def test_no_word_is_ever_dropped(self):
+        # Words at the final segment's exact end, inside an inter-segment
+        # gap, and before the first segment all attach to the nearest
+        # segment instead of vanishing (ADVICE r2 #4).
+        gap_segs = [
+            Segment(start=1.0, end=2.0, text=" a", tokens=(1,)),
+            Segment(start=5.0, end=7.0, text=" b", tokens=(2,)),
+        ]
+        words = [
+            Word("early", 0.1, 0.5, [9]),  # before the first segment
+            Word(" gap", 3.0, 3.5, [9]),  # between segments
+            Word(" end", 7.0, 7.4, [9]),  # exactly at the last end
+        ]
+        segs = list(iter_segments(_result(segments=gap_segs, words=words)))
+        attached = [w["word"] for s in segs for w in s.get("words", [])]
+        assert attached == ["early", " gap", " end"]
+        assert [w["word"] for w in segs[0]["words"]] == ["early", " gap"]
+        assert [w["word"] for w in segs[1]["words"]] == [" end"]
+
 
 class TestWriters:
     def test_srt(self):

@@ -20,13 +20,13 @@ Usage:  python tools/bench_serving.py [--model dev] [--n 32] [--slots 8]
 Prints one JSON line per front-end.
 """
 
+from __future__ import annotations
+
 import os as _os
 import sys as _sys
 
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
-
-from __future__ import annotations
 
 import argparse
 import json

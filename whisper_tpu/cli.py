@@ -117,6 +117,7 @@ def _engine_from_args(args):
         fallback_temperatures=fallback,
         word_timestamps=getattr(args, "word_timestamps", False),
         initial_prompt_tokens=initial_prompt,
+        initial_prompt=getattr(args, "initial_prompt", None),
         no_speech_threshold=getattr(args, "no_speech_threshold", None),
     )
     engine_type = (
@@ -324,13 +325,21 @@ def _add_engine_args(p) -> None:
         "position exceeds P (openai default 0.6); a confident avg-logprob "
         "overrides",
     )
-    p.add_argument(
+    prompt_group = p.add_mutually_exclusive_group()
+    prompt_group.add_argument(
+        "--initial-prompt",
+        default=None,
+        metavar="TEXT",
+        help="conditioning context as text (openai initial_prompt): encoded "
+        "with the built-in BPE encoder and prepended as "
+        "[<|startofprev|>]+tokens",
+    )
+    prompt_group.add_argument(
         "--initial-prompt-tokens",
         default=None,
         metavar="ID1,ID2,...",
-        help="conditioning context token IDs prepended as "
-        "[<|startofprev|>]+prefix (openai initial_prompt; tokenize with the "
-        "checkpoint's tokenizer)",
+        help="conditioning context as raw token IDs (advanced; same "
+        "placement as --initial-prompt)",
     )
 
 
@@ -444,11 +453,12 @@ def build_parser() -> argparse.ArgumentParser:
     _add_engine_args(t)
     t.add_argument("--clean", action="store_true", help="collapse extra spaces")
     t.add_argument("--verbose", action="store_true")
-    t.add_argument(
+    long_mode = t.add_mutually_exclusive_group()
+    long_mode.add_argument(
         "--long", action="store_true",
         help="any-duration mode: VAD-segmented chunks, one batched run",
     )
-    t.add_argument(
+    long_mode.add_argument(
         "--sequential", action="store_true",
         help="any-duration mode: openai seek loop with previous-text "
         "conditioning (accuracy-first; --long is throughput-first)",

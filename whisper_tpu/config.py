@@ -145,12 +145,24 @@ class EngineConfig:
     # last n_text_ctx//2-1 entries. Token IDs, not text — tokenization is a
     # checkpoint-side concern (pair with the HF tokenizer used to convert).
     initial_prompt_tokens: Optional[Tuple[int, ...]] = None
+    # Conditioning context as TEXT (openai's actual initial_prompt surface):
+    # encoded with the built-in byte-level BPE encoder (tokenizer/bpe.py) as
+    # " " + text.strip(), then treated exactly like initial_prompt_tokens.
+    # Mutually exclusive with initial_prompt_tokens.
+    initial_prompt: Optional[str] = None
     # Silence gate (openai no_speech_threshold, default there 0.6): when
     # set, the <|nospeech|> probability at the SOT position is read from the
     # prefill logits; a window with prob > threshold is emitted as empty
     # text — unless avg_logprob clears logprob_threshold (confident speech
     # overrides the gate, openai transcribe.py). None = off (parity path).
     no_speech_threshold: Optional[float] = None
+    # EXPERIMENTAL, opt-in: ctx read-window bucketing for the decode loops
+    # (decode/greedy.py ctx_bucket_limits). None (default) = full-window KV
+    # reads — the fast path. Setting a bucket compiles a lax.switch ladder
+    # that defeats while-loop cache aliasing and regresses badly at
+    # production shapes (9.5× at large-v3 beam=5 batch=4; HBM fault at
+    # batch=16); only useful for small-shape experiments.
+    ctx_bucket: Optional[int] = None
     # Bit-parity mode vs the reference binaries: reproduces its literal
     # multilingual prompt (unshifted task/notimestamps IDs 50359/50363 —
     # whisper.cpp:331-339) and the stereo downmix-by-INT32_MAX bug

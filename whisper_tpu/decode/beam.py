@@ -143,9 +143,13 @@ def reorder_cache(
     """
     dtype = cache["k"].dtype
     if use_pallas:
-        from whisper_tpu.ops.gather import permute_rows
+        from whisper_tpu.ops.gather import permute_rows, supported
 
-        return {n: permute_rows(v, gather_idx) for n, v in cache.items()}
+        # gather.py's caller contract: odd trailing sizes (not a multiple of
+        # the 128-lane tile) must fall back to the XLA path rather than
+        # raise mid-trace (ADVICE r2 #3).
+        if supported(cache["k"].shape) and supported(cache["v"].shape):
+            return {n: permute_rows(v, gather_idx) for n, v in cache.items()}
     compute = jnp.bfloat16 if dtype.itemsize == 1 else dtype
     perm = jax.nn.one_hot(gather_idx, bk, dtype=compute)  # [BK(new), BK(old)]
 
@@ -290,8 +294,9 @@ def beam_decode(
     cross_kv: Optional[KVCache] = None,  # unreplicated [L, B, H, Dh, Tk]
     kv_cache_dtype=None,  # storage dtype for caches (None => compute_dtype)
     no_speech: Optional[Tuple[int, int]] = None,  # (sot_index, nospeech_id)
-    ctx_bucket: Optional[int] = None,  # read-window granularity; None =
-    # decode.greedy.CTX_BUCKET (shared default)
+    ctx_bucket: Optional[int] = None,  # opt-in read-window granularity;
+    # None/0 = full-window reads (the fast path — the lax.switch ladder
+    # breaks while-loop cache aliasing; see greedy.ctx_bucket_limits)
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best
     finished hypothesis per batch item (length-normalized score) — plus
@@ -317,10 +322,8 @@ def beam_decode(
             logits = rules.apply(logits, tokens, pos, sample_begin)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-    from whisper_tpu.decode.greedy import CTX_BUCKET, ctx_bucket_limits
+    from whisper_tpu.decode.greedy import ctx_bucket_limits
 
-    if ctx_bucket is None:
-        ctx_bucket = CTX_BUCKET
     limits = (
         ctx_bucket_limits(total_len, ctx_bucket) if ctx_bucket else [total_len]
     )

@@ -29,16 +29,27 @@ from whisper_tpu.models.params import Params
 from whisper_tpu.decode.logits import LogitRules
 
 
-CTX_BUCKET = 64  # ctx read-window granularity (see ctx_buckets below)
+CTX_BUCKET = 64  # opt-in ctx read-window granularity (see ctx_bucket_limits)
 
 
 def ctx_bucket_limits(total_len: int, bucket: int) -> list:
     """Static ctx read-window sizes: multiples of ``bucket`` covering
-    1..total_len. The decode loops lax.switch over these so a step at
-    position p streams only the smallest covering window of the KV cache
-    (decoder.ctx_limit) instead of the whole preallocated buffer — on
-    large-v3 beam=5 the self-attention stream is ~40% smaller averaged
-    over a 224-token budget."""
+    1..total_len. With ``ctx_bucket`` set, the decode loops ``lax.switch``
+    over these so a step at position p streams only the smallest covering
+    window of the KV cache (decoder.ctx_limit) instead of the whole
+    preallocated buffer.
+
+    **OFF BY DEFAULT — measured regression at production shapes.** The
+    branches of a ``lax.switch`` are separate XLA computations, so the
+    multi-GB KV cache carried through the while_loop can no longer alias
+    in place across the step: XLA materializes full cache copies per step
+    (the same xs→ys failure mode models/decoder.py:145-155 documents
+    fixing). At large-v3 beam=5 batch=4 max_new=224 the ladder is ~9.5×
+    SLOWER than the full-window read (38.1 s vs 4.0 s per batch), and at
+    batch=16 the per-step copies exhaust HBM and fault the chip. The
+    ~40% HBM-stream saving only materializes on small shapes where the
+    cache fits comfortably; keep it ``None`` unless re-validated on the
+    target shape with bench.py."""
     return [min(total_len, bucket * (i + 1)) for i in range((total_len + bucket - 1) // bucket)]
 
 
@@ -82,7 +93,8 @@ def greedy_decode(
     rng: Optional[jnp.ndarray] = None,  # PRNGKey, required with temperature
     return_logprobs: bool = False,
     no_speech: Optional[Tuple[int, int]] = None,  # (sot_index, nospeech_id)
-    ctx_bucket: Optional[int] = CTX_BUCKET,  # None disables read bucketing
+    ctx_bucket: Optional[int] = None,  # opt-in read bucketing — None/0 =
+    # full-window reads (the fast path; see ctx_bucket_limits on why)
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P + max_new_tokens], lengths [B]) — plus
     (sum_logprobs [B] f32,) when ``return_logprobs``, plus

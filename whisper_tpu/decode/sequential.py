@@ -45,31 +45,35 @@ TIME_PER_TOKEN = 0.02
 
 
 def choose_prefix_len(n_prev: int) -> int:
-    """Crop length for ``n_prev`` available conditioning tokens: the smallest
-    menu entry that fits them all, else the largest (crop to the most recent
-    222 — openai keeps the last n_ctx//2 - 1). 0 when there is no context."""
+    """Crop length for ``n_prev`` available conditioning tokens: the LARGEST
+    menu entry that fits WITHIN them (crop down to the most recent tokens),
+    capped at 222 ≈ openai's n_ctx//2 - 1. 0 until the smallest bucket's
+    worth of real context has accumulated — conditioning simply starts a
+    window or two later, rather than padding the prompt.
+
+    (Earlier revision padded short context up to the bucket by repeating the
+    oldest token; repeated-token prompts are a known Whisper repetition /
+    hallucination trigger, so a real-tokens-only crop is strictly safer —
+    ADVICE r2 #1. The cost is dropping up to bucket-gap context vs openai's
+    natural-length prompt; the bucket menu bounds executable count either
+    way.)"""
     if n_prev <= 0:
         return 0
+    best = 0
     for cand in PREFIX_LENS:
-        if n_prev <= cand:
-            return cand
-    return PREFIX_LENS[-1]
+        if cand <= n_prev:
+            best = cand
+    return best
 
 
 def crop_prefix(prev_tokens: Sequence[int]) -> List[int]:
-    """The conditioning prefix actually passed: last ``choose_prefix_len``
-    tokens, PADDED on the left by repeating the oldest kept token when the
-    menu entry exceeds the available count — padding with real in-context
-    text keeps the prompt semantically inert while making the length
-    static."""
-    n = len(prev_tokens)
-    keep = choose_prefix_len(n)
+    """The conditioning prefix actually passed: the last
+    ``choose_prefix_len`` tokens — always REAL transcript tokens, never
+    synthetic padding; empty until enough context accumulates."""
+    keep = choose_prefix_len(len(prev_tokens))
     if keep == 0:
         return []
-    kept = [int(t) for t in prev_tokens[-keep:]]
-    if len(kept) < keep:  # left-pad by repeating the oldest token
-        kept = [kept[0]] * (keep - len(kept)) + kept
-    return kept
+    return [int(t) for t in prev_tokens[-keep:]]
 
 
 def window_emit_and_advance(
@@ -94,7 +98,15 @@ def window_emit_and_advance(
     for i in range(len(toks) - 1):
         if is_ts[i] and is_ts[i + 1]:
             last_pair_second = i + 1
-    if last_pair_second is not None:
+    # openai's single_timestamp_ending (transcribe.py: timestamp_tokens[-2:]
+    # == [False, True]): the decode ended naturally with one trailing
+    # timestamp closing the final segment — everything is final and there is
+    # no speech after it, so emit ALL tokens and advance the full window
+    # instead of re-decoding the last segment (ADVICE r2 #2).
+    single_ts_ending = (
+        len(toks) >= 2 and (not is_ts[-2]) and is_ts[-1]
+    )
+    if last_pair_second is not None and not single_ts_ending:
         advance = (toks[last_pair_second - 1] - beg) * TIME_PER_TOKEN
         # keep through the closing ts; the pair's SECOND ts opens the next
         # segment, which re-decodes in the next window (openai last_slice)

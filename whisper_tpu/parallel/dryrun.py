@@ -58,56 +58,164 @@ def _ensure_devices(n_devices: int):
     return devs[:n_devices]
 
 
-def dryrun_multichip(n_devices: int) -> None:
-    """Stand up the PRODUCT surface on an n-device (data, model) mesh —
-    ``create_engine`` with ``mesh_shape`` in the config, exactly what a user
-    gets from the CLI's ``--mesh`` flag — and execute the full sharded
-    pipeline (mel → encode → KV-cached decode) for both greedy and beam
-    engines on tiny shapes. Raises on any compile/sharding error."""
+def _tokens_of(results):
+    return [[int(t) for t in r.tokens[: r.length]] for r in results]
+
+
+def _mesh_parity(n_devices: int, model: str, samples, beam_size: int) -> list:
+    """Run the same batch through create_engine on a single device and on
+    the (n,1) and (n/2,2) meshes; assert token-for-token equality across all
+    of them (VERDICT r2 next-#5). Returns the reference token lists."""
     import numpy as np
 
     from whisper_tpu.config import EngineConfig
     from whisper_tpu.engine import EngineType, create_engine
 
-    _ensure_devices(n_devices)
-    mp = 2 if (n_devices % 2 == 0 and n_devices > 1) else 1
-    mesh_shape = (n_devices // mp, mp)
+    mesh_shapes = [(1, 1), (n_devices, 1)]
+    if n_devices % 2 == 0 and n_devices > 1:
+        mesh_shapes.append((n_devices // 2, 2))
 
-    batch = mesh_shape[0]  # one utterance per data-parallel group
+    reference = None
+    for mesh_shape in mesh_shapes:
+        eng = create_engine(
+            EngineType.MONOLITH,
+            EngineConfig(
+                model=model, language="de", max_new_tokens=4,
+                beam_size=beam_size, dtype="float32", mesh_shape=mesh_shape,
+            ),
+            seed=0,
+        )
+        n_mesh = int(np.prod(mesh_shape))
+        if n_mesh > 1:
+            assert eng.mesh is not None and dict(eng.mesh.shape) == {
+                "data": mesh_shape[0], "model": mesh_shape[1],
+            }
+        else:
+            # (1,1) is the degenerate single-chip case: the engine skips the
+            # mesh machinery entirely (engine.py gates on prod>1) — correct
+            # product behavior, no sharding overhead.
+            assert eng.mesh is None
+        toks = _tokens_of(eng.transcribe_batch(samples))
+        assert len(toks) == samples.shape[0]
+        assert all(len(t) >= 4 for t in toks)
+        if reference is None:
+            reference = toks
+        else:
+            assert toks == reference, (
+                f"{model} beam={beam_size}: mesh {mesh_shape} diverged from "
+                f"the single-device tokens"
+            )
+    return reference
+
+
+def _multiprocess_leg(n_devices: int) -> None:
+    """Two REAL processes (4 virtual CPU devices each) joining one
+    jax.distributed coordinator and running the public ``transcribe_files``
+    path over a shared file list; both processes' allgathered results must
+    match a plain single-process engine token-for-token."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    import numpy as np
+
+    from whisper_tpu.audio.wav import write_wav
+    from whisper_tpu.config import EngineConfig
+    from whisper_tpu.engine import EngineType, create_engine
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        coordinator = f"127.0.0.1:{s.getsockname()[1]}"
+
+    with tempfile.TemporaryDirectory() as td:
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(4):
+            p = f"{td}/u{i}.wav"
+            write_wav(p, (0.1 * rng.standard_normal(12_000)).astype(np.float32))
+            paths.append(p)
+
+        plain = create_engine(
+            EngineType.MONOLITH,
+            EngineConfig(model="dev", language="en", max_new_tokens=4,
+                         dtype="float32"),
+            seed=0,
+        )
+        expected = [
+            {"tokens": [int(t) for t in r.tokens[: r.length]], "text": r.text}
+            for r in plain.transcribe_files(paths)
+        ]
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env.pop("JAX_COORDINATOR_ADDRESS", None)
+        procs, outs = [], []
+        for pid in range(2):
+            out = f"{td}/proc{pid}.json"
+            outs.append(out)
+            procs.append(
+                subprocess.Popen(
+                    [
+                        sys.executable, "-m",
+                        "whisper_tpu.parallel._dist_worker",
+                        "--coordinator", coordinator,
+                        "--num-processes", "2",
+                        "--process-id", str(pid),
+                        "--paths", ",".join(paths),
+                        "--out", out,
+                    ],
+                    env=env, stdout=subprocess.PIPE,
+                    stderr=subprocess.PIPE, text=True,
+                )
+            )
+        logs = []
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=540)
+            logs.append((p.returncode, stdout[-2000:], stderr[-2000:]))
+        assert all(rc == 0 for rc, *_ in logs), logs
+        datas = [json.load(open(o)) for o in outs]
+        assert datas[0]["results"] == datas[1]["results"] == expected, (
+            "multi-process transcribe_files diverged from the "
+            "single-process engine"
+        )
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Stand up the PRODUCT surface on n-device (data, model) meshes —
+    ``create_engine`` with ``mesh_shape`` in the config, exactly what a user
+    gets from the CLI's ``--mesh`` flag — and execute the full sharded
+    pipeline (mel → encode → KV-cached decode), asserting TOKEN PARITY
+    across mesh layouts rather than just shapes:
+
+    * **real geometry**: whisper-tiny dims, greedy AND beam=2, single device
+      vs (n,1) vs (n/2,2) — token-for-token equal;
+    * **dev geometry**: same parity matrix at CI width (fast canary kept so
+      a tiny-geometry-only failure is distinguishable);
+    * **multi-process**: two real processes over one jax.distributed
+      coordinator running the public ``transcribe_files`` path, results
+      matched against a single-process engine.
+
+    Raises on any compile, sharding, or parity error."""
+    import numpy as np
+
+    _ensure_devices(n_devices)
+
+    batch = max(n_devices, 2)
     rng = np.random.default_rng(0)
     samples = (0.1 * rng.standard_normal((batch, 16_000))).astype(np.float32)
 
-    # Greedy monolith: the headline single-program path under dp+tp.
-    eng = create_engine(
-        EngineType.MONOLITH,
-        EngineConfig(
-            model="dev", language="de", max_new_tokens=4, dtype="float32",
-            mesh_shape=mesh_shape,
-        ),
-        seed=0,
-    )
-    if n_devices > 1:
-        assert eng.mesh is not None and dict(eng.mesh.shape) == {
-            "data": mesh_shape[0], "model": mesh_shape[1],
-        }
-    else:
-        # A (1, 1) mesh is the degenerate single-chip case: the engine skips
-        # the mesh machinery entirely (engine.py gates on prod(mesh_shape)>1),
-        # which is the correct product behavior — no sharding overhead.
-        assert eng.mesh is None
-    results = eng.transcribe_batch(samples)
-    assert len(results) == batch
-    assert all(r.length >= 4 for r in results)
+    # Dev geometry first: cheap canary for the full matrix.
+    _mesh_parity(n_devices, "dev", samples, beam_size=1)
+    _mesh_parity(n_devices, "dev", samples, beam_size=2)
 
-    # Beam engine: exercises the beam-state gathers + shared cross-KV
-    # grouping under the same shardings (BASELINE.json configs[2]).
-    beam_eng = create_engine(
-        EngineType.MONOLITH,
-        EngineConfig(
-            model="dev", language="de", max_new_tokens=4, beam_size=2,
-            dtype="float32", mesh_shape=mesh_shape,
-        ),
-        seed=0,
-    )
-    beam_results = beam_eng.transcribe_batch(samples)
-    assert len(beam_results) == batch
+    # Real tiny geometry (384-wide, 4-layer, real vocab): the shardings get
+    # real head counts (6) and the TP axis divides them unevenly-free.
+    _mesh_parity(n_devices, "tiny", samples, beam_size=1)
+    _mesh_parity(n_devices, "tiny", samples, beam_size=2)
+
+    # Multi-process transcribe_files (subprocess pair, own device worlds) —
+    # only meaningful where virtual CPU worlds can be spawned.
+    _multiprocess_leg(n_devices)

@@ -65,6 +65,7 @@ def global_batch(
     local_batch: np.ndarray,  # [local_B, ...] this host's decoded utterances
     mesh: Mesh,
     data_axis: str = "data",
+    pad_to: Optional[int] = None,
 ) -> jax.Array:
     """Per-host numpy → one global jax.Array sharded along ``data``.
 
@@ -74,18 +75,36 @@ def global_batch(
     whole batch (the capability that makes N-host utterance DP feed at
     N× host bandwidth).
 
-    The batch dim is zero-padded up to a multiple of the data-axis size
-    (sharding requires even division); callers slice results back to their
-    true utterance count."""
+    The batch dim is zero-padded up to ``pad_to`` rows when given (the
+    UNIFORM per-host count callers use so uneven work lists — including
+    hosts with zero items, e.g. a small fallback-retry set — still form an
+    evenly divisible global array), else to a multiple of the data-axis
+    size. Callers slice results back to their true utterance count."""
     axis = mesh.shape[data_axis]
-    rem = local_batch.shape[0] % axis
-    if rem:
-        pad = np.zeros((axis - rem, *local_batch.shape[1:]), local_batch.dtype)
+    target = pad_to if pad_to is not None else (
+        -(-local_batch.shape[0] // axis) * axis if local_batch.shape[0] else 0
+    )
+    if local_batch.shape[0] < target:
+        pad = np.zeros(
+            (target - local_batch.shape[0], *local_batch.shape[1:]),
+            local_batch.dtype,
+        )
         local_batch = np.concatenate([local_batch, pad], axis=0)
     sharding = NamedSharding(
         mesh, P(data_axis, *([None] * (local_batch.ndim - 1)))
     )
     return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
+def uniform_host_rows(n_items: int, mesh: Mesh, data_axis: str = "data") -> int:
+    """The per-host padded row count for an n-item work list: every host
+    contributes the same number of rows (ceil share, rounded up to a
+    multiple of the data-axis size) so the global array divides evenly no
+    matter how unevenly host_shard splits the items."""
+    pc = jax.process_count()
+    per = -(-n_items // pc)
+    axis = mesh.shape[data_axis]
+    return -(-per // axis) * axis
 
 
 def load_files_sharded(
@@ -102,7 +121,7 @@ def load_files_sharded(
     from whisper_tpu.native import load_native
 
     host = load_native()
-    if host is not None:
+    if host is not None and local_paths:
         local = host.load_batch(local_paths, max_len=max_len)
     else:
         from whisper_tpu.audio.wav import read_wav
@@ -112,4 +131,5 @@ def load_files_sharded(
             s = read_wav(p)
             n = min(len(s), max_len)
             local[i, :n] = s[:n]
-    return global_batch(local, mesh, data_axis), local_paths
+    pad_to = uniform_host_rows(len(paths), mesh, data_axis)
+    return global_batch(local, mesh, data_axis, pad_to=pad_to), local_paths

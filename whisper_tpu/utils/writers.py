@@ -79,10 +79,26 @@ def _chunk_segments(result, offset: float) -> Iterator[Dict[str, Any]]:
     if getattr(result, "is_silent", False):
         return
     if result.segments:
-        for seg in result.segments:
-            seg_words = [
-                w for w in words if seg.start <= w.start < seg.end
-            ] or None
+        segs = result.segments
+        # Attach every word to exactly one segment: its covering segment,
+        # else the last segment starting at/before it (clamped to the first)
+        # — words landing in inter-segment gaps or exactly at the final
+        # segment's end must not be silently dropped (ADVICE r2 #4).
+        assigned: List[list] = [[] for _ in segs]
+        for w in words:
+            idx = None
+            for i, seg in enumerate(segs):
+                if seg.start <= w.start < seg.end:
+                    idx = i
+                    break
+            if idx is None:
+                idx = 0
+                for i, seg in enumerate(segs):
+                    if seg.start <= w.start:
+                        idx = i
+            assigned[idx].append(w)
+        for seg, seg_words_list in zip(segs, assigned):
+            seg_words = seg_words_list or None
             yield {
                 "start": round(seg.start + offset, 3),
                 "end": round(seg.end + offset, 3),
