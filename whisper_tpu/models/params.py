@@ -45,7 +45,19 @@ def _stack_layers(layer_trees):
 
 def init_params(dims: ModelDims, key: jax.Array, dtype=jnp.float32) -> Params:
     """Random-init full parameter pytree (shape-identical to converted
-    checkpoints)."""
+    checkpoints).
+
+    Runs as ONE jit program. Besides being faster than eager init, this is
+    load-bearing on the tunneled TPU backend: eagerly iterating the split
+    key array materializes ~1024 tiny device buffers, which permanently
+    degrades the process's subsequent large host→device transfers from
+    ~1.5 GB/s to ~35 MB/s (measured 2026-08-20; a 122 MB batch upload went
+    0.09 s → 3.5 s and stayed there). Under jit the keys are traced values
+    — nothing materializes but the final pytree."""
+    return _init_params_jit(dims, key, jnp.dtype(dtype))
+
+
+def _init_params_impl(dims: ModelDims, key: jax.Array, dtype) -> Params:
     d_a, d_t = dims.n_audio_state, dims.n_text_state
     keys = iter(jax.random.split(key, 1024))
 
@@ -112,6 +124,11 @@ def init_params(dims: ModelDims, key: jax.Array, dtype=jnp.float32) -> Params:
         "ln": ln(d_t),
     }
     return {"encoder": encoder, "decoder": decoder}
+
+
+# dims (frozen dataclass) and dtype are static; the whole init is one
+# compiled program per (dims, dtype) — see init_params docstring.
+_init_params_jit = jax.jit(_init_params_impl, static_argnums=(0, 2))
 
 
 def cast_params(params: Params, dtype) -> Params:
