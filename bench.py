@@ -44,6 +44,8 @@ def _opt(name, default):
 
 QUANT = _opt("BENCH_QUANT", "int8")
 KV_DTYPE = _opt("BENCH_KV", "float8_e4m3fn")
+_cb = os.environ.get("BENCH_CTX_BUCKET", "")
+CTX_BUCKET = int(_cb) if _cb not in ("", "none", "None", "0") else None
 NORTH_STAR_PER_CHIP = 500.0  # 2000 audio-s/s per 4-chip v5p host, large-v3
 
 
@@ -73,6 +75,7 @@ def main():
         dtype=DTYPE,
         quantization=QUANT,
         kv_cache_dtype=KV_DTYPE,
+        ctx_bucket=CTX_BUCKET,
     )
     engine = create_engine(EngineType.MONOLITH, config, seed=0)
 
@@ -132,6 +135,7 @@ def main():
                     "quant": QUANT,
                     "kv_dtype": KV_DTYPE,
                     "dtype": DTYPE,
+                    "ctx_bucket": CTX_BUCKET,
                     "tokens_decoded": int(
                         sum(r.length for r in results)
                     ),

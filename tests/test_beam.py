@@ -383,9 +383,10 @@ class TestReorderCache:
 
 @pytest.mark.slow
 class TestCtxBucketing:
-    """Bucketed KV read windows (decoder.ctx_limit + the lax.switch ladders)
-    must be BIT-IDENTICAL to full-window decoding: positions outside the
-    window carry exactly-zero softmax weight."""
+    """Segment-growth decode (sequential while_loops over growing cache
+    buffers — greedy.ctx_bucket_limits) must be BIT-IDENTICAL to the
+    single full-size-buffer decode: unwritten positions carry exactly-zero
+    softmax weight and the grow copy is value-preserving."""
 
     def test_beam_bucketed_parity(self):
         dims = MODEL_DIMS["dev"]

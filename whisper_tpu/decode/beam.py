@@ -294,9 +294,9 @@ def beam_decode(
     cross_kv: Optional[KVCache] = None,  # unreplicated [L, B, H, Dh, Tk]
     kv_cache_dtype=None,  # storage dtype for caches (None => compute_dtype)
     no_speech: Optional[Tuple[int, int]] = None,  # (sot_index, nospeech_id)
-    ctx_bucket: Optional[int] = None,  # opt-in read-window granularity;
-    # None/0 = full-window reads (the fast path — the lax.switch ladder
-    # breaks while-loop cache aliasing; see greedy.ctx_bucket_limits)
+    ctx_bucket: Optional[int] = None,  # KV segment-growth granularity
+    # (sequential while_loops over growing cache buffers — aliasing-safe;
+    # see greedy.ctx_bucket_limits). None/0 = one full-size segment.
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best
     finished hypothesis per batch item (length-normalized score) — plus
@@ -322,18 +322,20 @@ def beam_decode(
             logits = rules.apply(logits, tokens, pos, sample_begin)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-    from whisper_tpu.decode.greedy import ctx_bucket_limits
+    from whisper_tpu.decode.greedy import ctx_bucket_limits, grow_cache
 
     limits = (
         ctx_bucket_limits(total_len, ctx_bucket) if ctx_bucket else [total_len]
     )
+    limits = [l for l in limits if l > p_len] or [total_len]
 
     # --- prefill ONCE per utterance (beams are identical at the prompt),
-    # then fan the self-cache out to the beam axis ---
-    cache_b = init_kv_cache(dims, b, total_len, dtype=kv_cache_dtype or compute_dtype)
+    # then fan the self-cache out to the beam axis. The cache starts at the
+    # first segment's physical size and grows at segment boundaries
+    # (greedy.ctx_bucket_limits) ---
+    cache_b = init_kv_cache(dims, b, limits[0], dtype=kv_cache_dtype or compute_dtype)
     logits, cache_b = decoder_prefill(
         params, prompt, cache_b, cross_kv, dims, compute_dtype,
-        ctx_limit=next(l for l in limits if l >= p_len),
     )
     if no_speech is not None:
         sot_index, nospeech_id = no_speech
@@ -374,38 +376,12 @@ def beam_decode(
 
     state = BeamState(jnp.int32(p_len + 1), tokens, scores, cache, fin)
 
-    def cond(s: BeamState):
-        return (s.pos < total_len) & ~jnp.all(s.fin.valid)
-
-    def _step_branch(limit):
-        def branch(prev, pos, cache):
-            return decoder_step(
-                params, prev, pos, cache, cross_kv, dims, compute_dtype,
-                beam_width=k, ctx_limit=limit,
-            )
-
-        return branch
-
-    step_branches = [_step_branch(l) for l in limits]
-    reorder_branches = [
-        (lambda cache, rows, _l=l: reorder_cache_window(cache, rows, bk, _l))
-        for l in limits
-    ]
-
     def body(s: BeamState) -> BeamState:
         prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, 1, keepdims=False)
-        if len(limits) == 1:
-            bucket_idx = None
-            logits, cache = step_branches[0](prev, s.pos - 1, s.cache)
-        else:
-            # Query position s.pos-1 writes its K row at that index, so the
-            # covering window is bucket (s.pos-1)//B (greedy.py ladder).
-            bucket_idx = jnp.minimum(
-                (s.pos - 1) // limits[0], len(limits) - 1
-            ).astype(jnp.int32)
-            logits, cache = jax.lax.switch(
-                bucket_idx, step_branches, prev, s.pos - 1, s.cache
-            )
+        logits, cache = decoder_step(
+            params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype,
+            beam_width=k,
+        )
         lp = logprobs_of(logits, s.tokens, s.pos)  # [B*K, V]
 
         # openai's candidate pool: top (K+1) per beam (≥ K non-EOT overall),
@@ -455,17 +431,28 @@ def beam_decode(
             tokens, act_tok.reshape(bk), s.pos, axis=1
         )
         if "reorder" not in _ABLATE:  # ablation: perf attribution only
-            if bucket_idx is None:
-                cache = reorder_cache(cache, act_rows, bk)
-            else:
-                cache = jax.lax.switch(
-                    bucket_idx, reorder_branches, cache, act_rows
-                )
+            # The cache buffer is the current segment's physical size, so
+            # the reshuffle streams only the covering window.
+            cache = reorder_cache(cache, act_rows, bk)
         return BeamState(
             s.pos + 1, tokens, sel.act_scores.reshape(bk), cache, fin
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    # One while_loop per cache segment (greedy.py: segment-growth decode).
+    for i, end in enumerate(limits):
+        seg_end = jnp.int32(min(end, total_len))
+
+        def cond(s: BeamState, _end=seg_end):
+            return (s.pos < _end) & ~jnp.all(s.fin.valid)
+
+        state = jax.lax.while_loop(cond, body, state)
+        if i + 1 < len(limits):
+            state = BeamState(
+                state.pos, state.tokens, state.scores,
+                grow_cache(state.cache, limits[i + 1]), state.fin,
+            )
+
+    final = state
 
     # --- finalize: pad incomplete finished sets from the surviving active
     # beams in raw-score order (openai GreedyDecoder.finalize appends EOT to

@@ -29,28 +29,39 @@ from whisper_tpu.models.params import Params
 from whisper_tpu.decode.logits import LogitRules
 
 
-CTX_BUCKET = 64  # opt-in ctx read-window granularity (see ctx_bucket_limits)
+CTX_BUCKET = 64  # ctx segment-growth granularity (see ctx_bucket_limits)
 
 
 def ctx_bucket_limits(total_len: int, bucket: int) -> list:
-    """Static ctx read-window sizes: multiples of ``bucket`` covering
-    1..total_len. With ``ctx_bucket`` set, the decode loops ``lax.switch``
-    over these so a step at position p streams only the smallest covering
-    window of the KV cache (decoder.ctx_limit) instead of the whole
-    preallocated buffer.
+    """Static KV-cache segment sizes: multiples of ``bucket`` covering
+    1..total_len.
 
-    **OFF BY DEFAULT — measured regression at production shapes.** The
-    branches of a ``lax.switch`` are separate XLA computations, so the
-    multi-GB KV cache carried through the while_loop can no longer alias
-    in place across the step: XLA materializes full cache copies per step
-    (the same xs→ys failure mode models/decoder.py:145-155 documents
-    fixing). At large-v3 beam=5 batch=4 max_new=224 the ladder is ~9.5×
-    SLOWER than the full-window read (38.1 s vs 4.0 s per batch), and at
-    batch=16 the per-step copies exhaust HBM and fault the chip. The
-    ~40% HBM-stream saving only materializes on small shapes where the
-    cache fits comfortably; keep it ``None`` unless re-validated on the
-    target shape with bench.py."""
+    With ``ctx_bucket`` set, the decode runs as a SEQUENCE of while_loops —
+    one per segment — where segment i's cache buffer is physically
+    ``limits[i]`` positions long, grown (one zero-pad copy) at each
+    boundary. Early steps therefore stream and (for beam) reorder only a
+    fraction of the full cache: averaged over a 224-token budget at
+    bucket 64 the self-attention + reorder traffic drops ~40%.
+
+    This is the aliasing-safe formulation of the round-2 ``lax.switch``
+    read-window ladder, which was a severe regression: switch branches are
+    separate XLA computations, so the carried cache could no longer alias
+    in place across steps and XLA materialized full cache copies per step
+    (9.5× slower at large-v3 beam=5 batch=4; HBM fault at batch=16 — the
+    same xs→ys failure models/decoder.py documents). Sequential
+    while_loops keep each loop's carry donation intact; the only extra
+    cost is one pad-copy per boundary (~ms at large-v3 scale)."""
     return [min(total_len, bucket * (i + 1)) for i in range((total_len + bucket - 1) // bucket)]
+
+
+def grow_cache(cache: KVCache, new_len: int) -> KVCache:
+    """Zero-pad the cache's position axis (axis 2) up to ``new_len`` — the
+    one-time copy at a segment boundary."""
+    cur = cache["k"].shape[2]
+    if new_len <= cur:
+        return cache
+    pad = [(0, 0), (0, 0), (0, new_len - cur), (0, 0), (0, 0)]
+    return {n: jnp.pad(v, pad) for n, v in cache.items()}
 
 
 def argmax_last(logits: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -137,7 +148,13 @@ def greedy_decode(
         raise ValueError("temperature sampling requires an rng key")
     if cross_kv is None:
         cross_kv = precompute_cross_kv(params, enc_out, dims, kv_dtype=kv_cache_dtype)
-    cache = init_kv_cache(dims, b, total_len, dtype=kv_cache_dtype or compute_dtype)
+    # Segment plan: cache starts at the smallest bucket that holds the
+    # prompt plus one generated row, and grows through the remaining limits.
+    limits = (
+        ctx_bucket_limits(total_len, ctx_bucket) if ctx_bucket else [total_len]
+    )
+    limits = [l for l in limits if l > p_len] or [total_len]
+    cache = init_kv_cache(dims, b, limits[0], dtype=kv_cache_dtype or compute_dtype)
     sample_begin = jnp.int32(p_len)
 
     def pick(logits: jnp.ndarray, tokens: jnp.ndarray, pos):
@@ -163,16 +180,9 @@ def greedy_decode(
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         return choice, jnp.take_along_axis(lp, choice[:, None], axis=-1)[:, 0]
 
-    limits = (
-        ctx_bucket_limits(total_len, ctx_bucket) if ctx_bucket else [total_len]
-    )
-
-    # --- prefill: static prompt, one pass; keys never exceed the prompt, so
-    # the read window is the smallest bucket covering it ---
-    prefill_limit = next(l for l in limits if l >= p_len)
+    # --- prefill: static prompt, one pass into the first segment's buffer ---
     logits, cache = decoder_prefill(
         params, prompt, cache, cross_kv, dims, compute_dtype,
-        ctx_limit=prefill_limit,
     )
     if no_speech is not None:
         sot_index, nospeech_id = no_speech
@@ -187,39 +197,16 @@ def greedy_decode(
     finished = first == eot
     sum_lp = first_lp if return_logprobs else jnp.zeros((b,), jnp.float32)
 
-    init = _SamplingState(
+    state = _SamplingState(
         GreedyState(jnp.int32(p_len + 1), tokens, cache, finished), sum_lp
     )
-
-    def cond(ss: _SamplingState):
-        s = ss.greedy
-        return (s.pos < total_len) & ~jnp.all(s.finished)
-
-    def _step_branch(limit):
-        def branch(prev, pos, cache):
-            return decoder_step(
-                params, prev, pos, cache, cross_kv, dims, compute_dtype,
-                ctx_limit=limit,
-            )
-
-        return branch
-
-    branches = [_step_branch(l) for l in limits]
 
     def body(ss: _SamplingState) -> _SamplingState:
         s = ss.greedy
         prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, axis=1, keepdims=False)
-        if len(branches) == 1:
-            logits, cache = branches[0](prev, s.pos - 1, s.cache)
-        else:
-            # Query position is s.pos-1 and its own fresh K row sits at that
-            # index, so the window must reach s.pos: bucket (s.pos-1)//B.
-            idx = jnp.minimum(
-                (s.pos - 1) // limits[0], len(branches) - 1
-            ).astype(jnp.int32)
-            logits, cache = jax.lax.switch(
-                idx, branches, prev, s.pos - 1, s.cache
-            )
+        logits, cache = decoder_step(
+            params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype
+        )
         nxt, lp = pick(logits, s.tokens, s.pos)
         nxt = jnp.where(s.finished, eot, nxt)
         tokens = jax.lax.dynamic_update_index_in_dim(s.tokens, nxt, s.pos, axis=1)
@@ -231,7 +218,32 @@ def greedy_decode(
             sum_lp,
         )
 
-    final_ss = jax.lax.while_loop(cond, body, init)
+    # One while_loop per cache segment: the loop's carry (incl. the cache
+    # buffer at the segment's physical size) aliases in place; the buffer is
+    # grown by one pad-copy at each boundary. A single segment (= no
+    # bucketing) is exactly the classic full-window loop. The step at
+    # position pos-1 writes its K row at that index, so a segment whose
+    # buffer holds ``end`` rows can run while pos < end; a batch fully
+    # finished early makes the remaining loops no-ops (cond false at entry).
+    for i, end in enumerate(limits):
+        seg_end = jnp.int32(min(end, total_len))
+
+        def cond(ss: _SamplingState, _end=seg_end):
+            s = ss.greedy
+            return (s.pos < _end) & ~jnp.all(s.finished)
+
+        state = jax.lax.while_loop(cond, body, state)
+        if i + 1 < len(limits):
+            g = state.greedy
+            state = _SamplingState(
+                GreedyState(
+                    g.pos, g.tokens, grow_cache(g.cache, limits[i + 1]),
+                    g.finished,
+                ),
+                state.sum_logprobs,
+            )
+
+    final_ss = state
     final = final_ss.greedy
 
     # Length = index of first EOT at/after the prompt, +1 to include it.
