@@ -114,6 +114,7 @@ def main():
         quant=QUANT,
         kv_dtype=KV_DTYPE,
         device_kind=jax.devices()[0].device_kind,
+        ctx_bucket=CTX_BUCKET,
     )
     print(
         json.dumps(

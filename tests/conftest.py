@@ -22,6 +22,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: re-runs of the suite skip recompiling the
+# hundreds of test programs (a fresh checkout's first run still compiles).
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), ".jax_test_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # noqa: BLE001 — cache is best-effort
+    pass
+
 import numpy as np
 import pytest
 

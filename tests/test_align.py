@@ -89,6 +89,7 @@ class TestMasks:
 
 
 class TestAlignmentMatrix:
+    @pytest.mark.slow
     def test_masked_average_matches_oracle(self):
         """Head-mask averaging: running with a single-head mask must equal
         the z-normed weights of that head computed independently — pinned by

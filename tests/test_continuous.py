@@ -128,6 +128,7 @@ def test_disaggregated_parity_with_static_engine(engine):
         assert got.text == exp.text
 
 
+@pytest.mark.slow
 def test_disaggregated_staggered_arrivals(engine):
     import time
 

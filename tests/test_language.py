@@ -40,6 +40,7 @@ def params():
 
 
 class TestDetect:
+    @pytest.mark.slow
     def test_matches_manual_prefill(self, params):
         mel = jax.random.normal(jax.random.PRNGKey(1), (3, DIMS.n_mels, 60))
         enc_out = encode(params, mel, DIMS)

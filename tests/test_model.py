@@ -109,6 +109,7 @@ class TestGreedyDecode:
         for i, w in enumerate(want):
             np.testing.assert_array_equal(got[i, : len(w)], w)
 
+    @pytest.mark.slow
     def test_batched_matches_single(self, params, enc_out):
         prompt = jnp.array([[1, 2], [3, 4]], dtype=jnp.int32)
         full, _ = greedy_decode(
@@ -154,7 +155,10 @@ class TestParams:
     def test_count_tiny_real_dims(self):
         from whisper_tpu.config import MODEL_DIMS
 
-        p = init_params(MODEL_DIMS["tiny"], jax.random.PRNGKey(0))
+        # eval_shape: the count needs shapes only — no init compile/alloc.
+        p = jax.eval_shape(
+            lambda k: init_params(MODEL_DIMS["tiny"], k), jax.random.PRNGKey(0)
+        )
         n = count_params(p)
         # openai tiny ≈ 39M params (37.18M non-embedding + embeddings).
         assert 35e6 < n < 45e6

@@ -35,6 +35,7 @@ class TestAsyncTranscriber:
             res = t.transcribe(_noise())
             assert res.length >= 2
 
+    @pytest.mark.slow
     def test_concurrent_requests_batched_consistently(self, engine):
         xs = [_noise(seed=s) for s in range(6)]
         with AsyncTranscriber(engine, max_batch=4, max_wait_ms=50) as t:

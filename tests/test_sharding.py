@@ -89,7 +89,10 @@ class TestEngineOnMesh:
     create_engine (VERDICT round-1 missing #3 — it was dead config), with
     token parity against the unsharded engine."""
 
-    @pytest.mark.parametrize("shape", [(4, 2), (2, 2)])
+    @pytest.mark.parametrize(
+        "shape",
+        [pytest.param((4, 2), marks=pytest.mark.slow), (2, 2)],
+    )
     def test_create_engine_sharded_token_parity(self, shape):
         from whisper_tpu.config import EngineConfig
         from whisper_tpu.engine import EngineType, create_engine

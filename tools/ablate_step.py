@@ -14,6 +14,10 @@ tunnel, not the chip.
 Usage: python tools/ablate_step.py [model] [batch] [beam]
 Env:   ABLATE_KV=bfloat16|float8_e4m3fn (cache dtypes, default bfloat16)
        ABLATE_ITERS=16
+       ABLATE_QUANT=int8  (also time the weight/unembed streams against
+       int8-quantized params — if the int8 timing is no better than bf16
+       at decode shapes, the dequant is NOT fusing into the matmul operand
+       load and is materializing bf16 copies)
 """
 
 import os as _os
@@ -166,6 +170,18 @@ def weights_step(xc, i, dec_blocks):
 
 timed(f"weight matmuls x{L} ({dec_gb:.2f} GB)", x0, weights_step,
       consts=(dec_blocks,), per_iter_gb=dec_gb)
+
+if os.environ.get("ABLATE_QUANT") == "int8":
+    from whisper_tpu.models.quantize import quantize_params
+
+    qparams = quantize_params(params)
+    qdec_blocks = qparams["decoder"]["blocks"]
+    qdec_gb = sum(
+        np.prod(x.shape) * x.dtype.itemsize
+        for x in jax.tree.leaves(qdec_blocks)
+    ) / 1e9
+    timed(f"weight matmuls x{L} int8 ({qdec_gb:.2f} GB)", x0, weights_step,
+          consts=(qdec_blocks,), per_iter_gb=qdec_gb)
 
 # --- unembed ------------------------------------------------------------------
 emb = params["decoder"]["tok_emb"]

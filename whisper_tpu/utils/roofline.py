@@ -99,6 +99,36 @@ def decoder_weight_bytes(dims: ModelDims, quant: Optional[str]) -> float:
     return (L * 14 * d * d + d * V) * _wbytes(quant)
 
 
+def avg_cache_window(
+    total_len: int, p_len: int, ctx_bucket: Optional[int]
+) -> float:
+    """Average physical cache-buffer length over the decode steps.
+
+    With segment-growth decode (decode/greedy.ctx_bucket_limits) a step at
+    position p runs against a buffer of the smallest covering segment; with
+    no bucketing every step streams the full ``total_len`` buffer."""
+    if not ctx_bucket:
+        return float(total_len)
+    from whisper_tpu.decode.greedy import ctx_bucket_limits
+
+    limits = [
+        l for l in ctx_bucket_limits(total_len, ctx_bucket) if l > p_len
+    ] or [total_len]
+    total, steps = 0.0, 0
+    prev = p_len
+    for end in limits:
+        n = max(0, min(end, total_len) - 1 - prev)  # steps in this segment
+        total += n * end
+        steps += n
+        prev = min(end, total_len) - 1
+    # crude but exact enough: count the remaining step(s) at the last size
+    remaining = (total_len - 1 - p_len) - steps
+    if remaining > 0:
+        total += remaining * limits[-1]
+        steps += remaining
+    return total / max(steps, 1)
+
+
 def decode_step_bytes(
     dims: ModelDims,
     batch: int,
@@ -106,15 +136,19 @@ def decode_step_bytes(
     total_len: int,
     quant: Optional[str],
     kv_dtype: Optional[str],
+    ctx_bucket: Optional[int] = None,
+    p_len: int = 4,
 ) -> float:
     """HBM bytes streamed per decode step: decoder weights + cross-KV (per
-    utterance, shared across beams) + the full self-cache buffer (read), plus
-    a read+write of the self-cache for the beam reorder when beam > 1."""
+    utterance, shared across beams) + the self-cache buffer (read) at its
+    average physical window, plus a read+write of the self-cache for the
+    beam reorder when beam > 1."""
     d, L, Tk = dims.n_text_state, dims.n_text_layer, dims.n_audio_ctx
     kvb = _kvbytes(kv_dtype)
     rows = batch * beam
+    window = avg_cache_window(total_len, p_len, ctx_bucket)
     cross = 2 * L * batch * d * Tk * kvb
-    self_cache = 2 * L * rows * d * total_len * kvb
+    self_cache = 2 * L * rows * d * window * kvb
     reorder = 2 * self_cache if beam > 1 else 0.0
     return decoder_weight_bytes(dims, quant) + cross + self_cache + reorder
 
@@ -130,6 +164,7 @@ def utilization(
     quant: Optional[str],
     kv_dtype: Optional[str],
     device_kind: str,
+    ctx_bucket: Optional[int] = None,
 ) -> dict:
     """MFU + decode-phase HBM utilization for one timed batch.
 
@@ -146,7 +181,8 @@ def utilization(
         + decoder_flops(dims, rows, p_len, new_tokens)
     )
     step_bytes = decode_step_bytes(
-        dims, batch, beam, total_len, quant, kv_dtype
+        dims, batch, beam, total_len, quant, kv_dtype,
+        ctx_bucket=ctx_bucket, p_len=p_len,
     )
     decode_bytes = new_tokens * step_bytes
     spec = chip_spec(device_kind)
