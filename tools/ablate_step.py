@@ -270,6 +270,16 @@ if BEAM > 1:
         timed("cache reorder: int8-bitcast matmul", cache0, onehot_i8_step,
               per_iter_gb=2 * cache_gb)
 
+    from whisper_tpu.ops import gather as _gather
+
+    if _gather.supported(ck.shape):
+
+        def pallas_step(c, i):
+            return {n: _gather.permute_rows(v, rot) for n, v in c.items()}
+
+        timed("cache reorder: pallas grouped DMA", cache0, pallas_step,
+              per_iter_gb=2 * cache_gb)
+
 # --- self-attention, T-layout cache [L, BK, H, DH, CTX] ----------------------
 ckT = jax.random.normal(key, (L, BK, H, DH, CTX), jnp.bfloat16).astype(KV)
 cvT = jax.random.normal(key, (L, BK, H, DH, CTX), jnp.bfloat16).astype(KV)

@@ -46,6 +46,21 @@ def _kernel(idx_ref, in_ref, out_ref):
     out_ref[...] = in_ref[...]
 
 
+_VMEM_BUDGET = 4 * 1024 * 1024  # per-block bytes target: big DMAs, small
+# enough that in+out double-buffered blocks stay well under the 16MB VMEM
+
+
+def _layer_group(l: int, row_bytes: int) -> int:
+    """Layers moved per grid cell: amortize the per-cell pipeline overhead
+    (the (1,1,·,·) single-row grid measured ~250 GB/s on v5e — far under
+    copy bandwidth — because 2,560 tiny cells pay fixed DMA/loop latency;
+    grouping layers into ~4 MB blocks cuts the cell count by that factor)."""
+    g = max(1, _VMEM_BUDGET // max(row_bytes, 1))
+    while l % g:
+        g -= 1
+    return g
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def permute_rows(
     x: jnp.ndarray,  # [L, N, ...] — any dtype, trailing size % 128 == 0
@@ -67,17 +82,18 @@ def permute_rows(
         raise ValueError(f"trailing dims of {x.shape} not lane-divisible")
     r, c = rc
     xv = x.reshape(l, n, r, c)  # minor-dim merge: layout-compatible view
+    g = _layer_group(l, r * c * x.dtype.itemsize)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(l, n),
+        grid=(l // g, n),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, r, c), lambda i, j, idx_ref: (i, idx_ref[j], 0, 0)
+                (g, 1, r, c), lambda i, j, idx_ref: (i, idx_ref[j], 0, 0)
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, r, c), lambda i, j, idx_ref: (i, j, 0, 0)
+            (g, 1, r, c), lambda i, j, idx_ref: (i, j, 0, 0)
         ),
     )
     out = pl.pallas_call(
