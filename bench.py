@@ -44,8 +44,13 @@ def _opt(name, default):
 
 QUANT = _opt("BENCH_QUANT", "int8")
 KV_DTYPE = _opt("BENCH_KV", "float8_e4m3fn")
-_cb = os.environ.get("BENCH_CTX_BUCKET", "")
-CTX_BUCKET = int(_cb) if _cb not in ("", "none", "None", "0") else None
+_cb = os.environ.get("BENCH_CTX_BUCKET", "auto")
+if _cb in ("none", "None", "0"):
+    CTX_BUCKET = None
+elif _cb == "auto" or _cb == "":
+    CTX_BUCKET = "auto"
+else:
+    CTX_BUCKET = int(_cb)
 NORTH_STAR_PER_CHIP = 500.0  # 2000 audio-s/s per 4-chip v5p host, large-v3
 
 

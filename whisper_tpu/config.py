@@ -156,13 +156,15 @@ class EngineConfig:
     # text — unless avg_logprob clears logprob_threshold (confident speech
     # overrides the gate, openai transcribe.py). None = off (parity path).
     no_speech_threshold: Optional[float] = None
-    # EXPERIMENTAL, opt-in: ctx read-window bucketing for the decode loops
-    # (decode/greedy.py ctx_bucket_limits). None (default) = full-window KV
-    # reads — the fast path. Setting a bucket compiles a lax.switch ladder
-    # that defeats while-loop cache aliasing and regresses badly at
-    # production shapes (9.5× at large-v3 beam=5 batch=4; HBM fault at
-    # batch=16); only useful for small-shape experiments.
-    ctx_bucket: Optional[int] = None
+    # KV segment-growth granularity (decode/greedy.py ctx_bucket_limits):
+    # the decode runs as sequential while_loops over physically growing
+    # cache buffers, so early steps stream/reorder only the covering
+    # window while XLA's carry aliasing stays intact. "auto" (default)
+    # enables a 64-token bucket when ≥3 segments cover the budget
+    # (north-star measured +27%: 60.1 → 76.5 audio-s/s) and turns itself
+    # off for short budgets where the grow copies dominate; an int forces
+    # a granularity, None/0 forces a single full-size buffer.
+    ctx_bucket: object = "auto"
     # Bit-parity mode vs the reference binaries: reproduces its literal
     # multilingual prompt (unshifted task/notimestamps IDs 50359/50363 —
     # whisper.cpp:331-339) and the stereo downmix-by-INT32_MAX bug

@@ -294,9 +294,10 @@ def beam_decode(
     cross_kv: Optional[KVCache] = None,  # unreplicated [L, B, H, Dh, Tk]
     kv_cache_dtype=None,  # storage dtype for caches (None => compute_dtype)
     no_speech: Optional[Tuple[int, int]] = None,  # (sot_index, nospeech_id)
-    ctx_bucket: Optional[int] = None,  # KV segment-growth granularity
-    # (sequential while_loops over growing cache buffers — aliasing-safe;
-    # see greedy.ctx_bucket_limits). None/0 = one full-size segment.
+    ctx_bucket="auto",  # KV segment-growth granularity (sequential
+    # while_loops over growing cache buffers — aliasing-safe; see
+    # greedy.ctx_bucket_limits). "auto" = CTX_BUCKET when ≥3 segments
+    # cover the budget, else a single full-size segment; int/None/0 force.
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best
     finished hypothesis per batch item (length-normalized score) — plus
@@ -322,8 +323,13 @@ def beam_decode(
             logits = rules.apply(logits, tokens, pos, sample_begin)
         return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-    from whisper_tpu.decode.greedy import ctx_bucket_limits, grow_cache
+    from whisper_tpu.decode.greedy import (
+        ctx_bucket_limits,
+        grow_cache,
+        resolve_ctx_bucket,
+    )
 
+    ctx_bucket = resolve_ctx_bucket(ctx_bucket, total_len)
     limits = (
         ctx_bucket_limits(total_len, ctx_bucket) if ctx_bucket else [total_len]
     )

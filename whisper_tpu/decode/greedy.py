@@ -30,6 +30,22 @@ from whisper_tpu.decode.logits import LogitRules
 
 
 CTX_BUCKET = 64  # ctx segment-growth granularity (see ctx_bucket_limits)
+AUTO_MIN_SEGMENTS = 3  # "auto" enables growth only when ≥3 segments cover
+# the budget: short decodes (tiny smoke: total 68 → 2 segments) lose more
+# to the grow copies + extra loop than the smaller windows save (measured
+# 381 → 293 audio-s/s at tiny beam5 b4), while long budgets win big
+# (north star 224-token: 60.1 → 76.5 audio-s/s, +27%).
+
+
+def resolve_ctx_bucket(ctx_bucket, total_len: int):
+    """Map the config value ("auto" | int | None/0) to an int or None."""
+    if ctx_bucket == "auto":
+        return (
+            CTX_BUCKET
+            if total_len >= AUTO_MIN_SEGMENTS * CTX_BUCKET
+            else None
+        )
+    return ctx_bucket or None
 
 
 def ctx_bucket_limits(total_len: int, bucket: int) -> list:
@@ -104,8 +120,9 @@ def greedy_decode(
     rng: Optional[jnp.ndarray] = None,  # PRNGKey, required with temperature
     return_logprobs: bool = False,
     no_speech: Optional[Tuple[int, int]] = None,  # (sot_index, nospeech_id)
-    ctx_bucket: Optional[int] = None,  # opt-in read bucketing — None/0 =
-    # full-window reads (the fast path; see ctx_bucket_limits on why)
+    ctx_bucket="auto",  # segment-growth granularity: "auto" (default —
+    # CTX_BUCKET when ≥3 segments cover the budget, else off), an int, or
+    # None/0 for a single full-size buffer (see ctx_bucket_limits)
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P + max_new_tokens], lengths [B]) — plus
     (sum_logprobs [B] f32,) when ``return_logprobs``, plus
@@ -150,6 +167,7 @@ def greedy_decode(
         cross_kv = precompute_cross_kv(params, enc_out, dims, kv_dtype=kv_cache_dtype)
     # Segment plan: cache starts at the smallest bucket that holds the
     # prompt plus one generated row, and grows through the remaining limits.
+    ctx_bucket = resolve_ctx_bucket(ctx_bucket, total_len)
     limits = (
         ctx_bucket_limits(total_len, ctx_bucket) if ctx_bucket else [total_len]
     )

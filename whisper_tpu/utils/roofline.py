@@ -106,10 +106,13 @@ def avg_cache_window(
 
     With segment-growth decode (decode/greedy.ctx_bucket_limits) a step at
     position p runs against a buffer of the smallest covering segment; with
-    no bucketing every step streams the full ``total_len`` buffer."""
+    no bucketing every step streams the full ``total_len`` buffer.
+    ``ctx_bucket`` accepts the config forms ("auto" | int | None)."""
+    from whisper_tpu.decode.greedy import ctx_bucket_limits, resolve_ctx_bucket
+
+    ctx_bucket = resolve_ctx_bucket(ctx_bucket, total_len)
     if not ctx_bucket:
         return float(total_len)
-    from whisper_tpu.decode.greedy import ctx_bucket_limits
 
     limits = [
         l for l in ctx_bucket_limits(total_len, ctx_bucket) if l > p_len
