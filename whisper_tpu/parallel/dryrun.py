@@ -144,7 +144,11 @@ def _multiprocess_leg(n_devices: int) -> None:
             seed=0,
         )
         expected = [
-            {"tokens": [int(t) for t in r.tokens[: r.length]], "text": r.text}
+            {
+                "tokens": [int(t) for t in r.tokens[: r.length]],
+                "text": r.text,
+                "temperature": r.temperature,
+            }
             for r in plain.transcribe_files(paths)
         ]
 
