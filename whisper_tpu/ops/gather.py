@@ -46,8 +46,13 @@ def _kernel(idx_ref, in_ref, out_ref):
     out_ref[...] = in_ref[...]
 
 
-_VMEM_BUDGET = 4 * 1024 * 1024  # per-block bytes target: big DMAs, small
-# enough that in+out double-buffered blocks stay well under the 16MB VMEM
+_VMEM_BUDGET = 1024 * 1024  # per-block bytes target. Measured on v5e
+# (large-v3 fp8 shapes): 291KB single-row blocks ~250 GB/s; 2.3MB blocks
+# (4MB budget) REGRESSED to 133 GB/s — in+out double buffering needs 4
+# blocks resident and ~9MB of VMEM starves the pipeline. ~1MB blocks keep
+# 4-deep buffering inside VMEM. The one-hot matmul (decode/beam.py) still
+# wins overall and stays the default reorder; this kernel is the
+# experimental path (use_pallas=True).
 
 
 def _layer_group(l: int, row_bytes: int) -> int:
