@@ -454,3 +454,23 @@ def test_pallas_permute_rows_interpret():
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(jnp.take(x, idx, axis=1))
     )
+
+
+class TestCtxBucketingCanary:
+    """Fast-tier segment-growth parity guard (ADVICE r3 #4): the default
+    `pytest tests/` profile excludes the slow tier, so this cheap dev-dims
+    case keeps a bucketed-vs-full decode regression visible in every run.
+    Skips the encoder (random enc_out) and uses a tiny budget."""
+
+    def test_beam_bucketed_parity_fast(self):
+        dims = MODEL_DIMS["dev"]
+        params = init_params(dims, jax.random.PRNGKey(3), dtype=jnp.float32)
+        enc_out = 0.3 * jax.random.normal(
+            jax.random.PRNGKey(4), (1, dims.n_audio_ctx, dims.n_audio_state)
+        )
+        prompt = jnp.asarray([[50258, 50259]], jnp.int32)
+        kw = dict(dims=dims, eot=50257, max_new_tokens=7, beam_size=2)
+        full = beam_decode(params, enc_out, prompt, ctx_bucket=0, **kw)
+        bucketed = beam_decode(params, enc_out, prompt, ctx_bucket=3, **kw)
+        np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(bucketed[0]))
+        np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(bucketed[1]))

@@ -208,3 +208,83 @@ class TestTranscribeFiles:
             np.testing.assert_array_equal(
                 r.tokens[: r.length], single.tokens[: single.length]
             )
+
+
+class TestTranscribeBatches:
+    """Pipelined multi-batch path (Monolith.transcribe_batches): overlapped
+    dispatch must be token-identical to sequential transcribe_batch."""
+
+    def test_pipelined_parity(self, monolith):
+        batches = [
+            np.stack([_noise(seed=10 * i + j) for j in range(2)])
+            for i in range(3)
+        ]
+        seq = [monolith.transcribe_batch(b) for b in batches]
+        pipe = monolith.transcribe_batches(batches)
+        assert len(pipe) == len(seq)
+        for s_list, p_list in zip(seq, pipe):
+            assert len(p_list) == len(s_list)
+            for s, p in zip(s_list, p_list):
+                np.testing.assert_array_equal(s.tokens, p.tokens)
+                assert s.text == p.text
+
+    def test_base_fallback_matches(self, encdec):
+        batches = [np.stack([_noise(seed=5)]), np.stack([_noise(seed=6)])]
+        seq = [encdec.transcribe_batch(b) for b in batches]
+        pipe = encdec.transcribe_batches(batches)
+        for s_list, p_list in zip(seq, pipe):
+            for s, p in zip(s_list, p_list):
+                np.testing.assert_array_equal(s.tokens, p.tokens)
+
+
+class TestAudioTransferDtype:
+    """int16 shipping (config.audio_transfer_dtype): bit-identical for
+    int16-representable audio; float32 mode preserved for parity work."""
+
+    def test_int16_roundtrip_exact(self):
+        cfg16 = EngineConfig(
+            model="dev.en", max_new_tokens=5, dtype="float32",
+            audio_transfer_dtype="int16",
+        )
+        cfg32 = EngineConfig(
+            model="dev.en", max_new_tokens=5, dtype="float32",
+            audio_transfer_dtype="float32",
+        )
+        e16 = Monolith.from_random(cfg16, seed=0)
+        e32 = Monolith.from_random(cfg32, seed=0)
+        # int16-representable samples (what WAV/PCM sources produce).
+        rng = np.random.default_rng(3)
+        ints = rng.integers(-3000, 3000, 16_000).astype(np.int16)
+        x = ints.astype(np.float32) / 32768.0
+        a = e16.transcribe(x)
+        b = e32.transcribe(x)
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+class TestAudioCtxCrop:
+    """audio_ctx (post-encoder position crop, config.py): N = n_audio_ctx
+    must be exactly the uncropped pipeline; a real crop must run end-to-end
+    (incl. beam + serving-shape cross-KV) and change only quality, not
+    machinery."""
+
+    def test_full_width_is_noop(self):
+        base = EngineConfig(model="dev.en", max_new_tokens=5, dtype="float32")
+        full = Monolith.from_random(base, seed=0)
+        noop = Monolith.from_random(
+            EngineConfig(model="dev.en", max_new_tokens=5, dtype="float32",
+                         audio_ctx=1500),
+            seed=0,
+        )
+        x = _noise(seed=9)
+        np.testing.assert_array_equal(
+            full.transcribe(x).tokens, noop.transcribe(x).tokens
+        )
+
+    def test_cropped_runs_beam(self):
+        eng = Monolith.from_random(
+            EngineConfig(model="dev.en", max_new_tokens=5, dtype="float32",
+                         audio_ctx=256, beam_size=2),
+            seed=0,
+        )
+        r = eng.transcribe(_noise(seed=11))
+        assert r.length >= 1 and isinstance(r.text, str)

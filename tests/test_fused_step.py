@@ -1,0 +1,199 @@
+"""Differential tests for the fused gather+append+attend decode-step kernel
+(ops/fused_step.py) against its XLA oracle and the standard decoder step.
+
+Runs the Pallas kernel in interpret mode on the CPU test platform; the TPU
+path compiles the same kernel (tile alignment is the only difference, and
+real-model head dims are lane-aligned)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_tpu.config import MODEL_DIMS
+from whisper_tpu.models.decoder import (
+    decoder_prefill,
+    decoder_step,
+    decoder_step_fused,
+    init_kv_cache,
+    plane_cache_from_prefill,
+    precompute_cross_kv,
+)
+from whisper_tpu.decode.beam import reorder_cache
+from whisper_tpu.models.params import init_params
+from whisper_tpu.ops.fused_step import (
+    fused_gather_attend,
+    reference_gather_attend,
+)
+
+
+def _mk(bk, ctx, n_head, dh, dtype, seed=0):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 6)
+    hd = n_head * dh
+    shape = (2, 3, bk, ctx, hd)
+    ck = jax.random.normal(ks[0], shape, jnp.float32).astype(dtype)
+    cv = jax.random.normal(ks[1], shape, jnp.float32).astype(dtype)
+    q = jax.random.normal(ks[2], (bk, hd), jnp.float32)
+    kn = jax.random.normal(ks[3], (bk, hd), jnp.float32)
+    vn = jax.random.normal(ks[4], (bk, hd), jnp.float32)
+    idx = jax.random.randint(ks[5], (bk,), 0, bk, jnp.int32)
+    return ck, cv, q, kn, vn, idx
+
+
+class TestFusedKernel:
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+    @pytest.mark.parametrize("parity", [0, 1])
+    def test_matches_oracle(self, dtype, parity):
+        bk, ctx, n_head, dh = 8, 32, 4, 16
+        ck, cv, q, kn, vn, idx = _mk(bk, ctx, n_head, dh, dtype)
+        q = q.astype(dtype)
+        pos = jnp.int32(9)
+        args = (ck, cv, idx, jnp.int32(1), pos, jnp.int32(parity), q, kn, vn)
+        attn, ok, ov = fused_gather_attend(
+            *args, n_head=n_head, interpret=True
+        )
+        ref_attn, rk, rv = reference_gather_attend(*args, n_head=n_head)
+        tol = 1e-5 if dtype == jnp.float32 else 3e-2
+        np.testing.assert_allclose(
+            np.asarray(attn, np.float32), np.asarray(ref_attn, np.float32),
+            atol=tol, rtol=tol,
+        )
+        # Write plane: rows 0..pos must match exactly (byte copies + append).
+        dst = 1 - parity
+        np.testing.assert_array_equal(
+            np.asarray(ok[dst, 1, :, : 10]), np.asarray(rk[dst, 1, :, : 10])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ov[dst, 1, :, : 10]), np.asarray(rv[dst, 1, :, : 10])
+        )
+        # Read plane untouched.
+        np.testing.assert_array_equal(
+            np.asarray(ok[parity]), np.asarray(ck[parity])
+        )
+
+    def test_duplicate_and_identity_indices(self):
+        bk, ctx, n_head, dh = 6, 16, 2, 8
+        ck, cv, q, kn, vn, _ = _mk(bk, ctx, n_head, dh, jnp.float32)
+        for idx in (
+            jnp.zeros((bk,), jnp.int32),  # all beams branch from row 0
+            jnp.arange(bk, dtype=jnp.int32),  # identity (greedy case)
+        ):
+            args = (ck, cv, idx, jnp.int32(0), jnp.int32(3), jnp.int32(0),
+                    q, kn, vn)
+            attn, ok, ov = fused_gather_attend(
+                *args, n_head=n_head, interpret=True
+            )
+            ref_attn, rk, rv = reference_gather_attend(*args, n_head=n_head)
+            np.testing.assert_allclose(
+                np.asarray(attn), np.asarray(ref_attn), atol=1e-5, rtol=1e-5
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ok[1, 0, :, :4]), np.asarray(rk[1, 0, :, :4])
+            )
+
+    def test_fp8_storage_roundtrip(self):
+        """fp8 cache rows must move as raw bytes (no conversion) and the
+        appended row must round-trip through fp8 exactly like the XLA path."""
+        fp8 = jnp.float8_e4m3fn
+        bk, ctx, n_head, dh = 4, 16, 2, 8
+        ck, cv, q, kn, vn, idx = _mk(bk, ctx, n_head, dh, fp8)
+        q = q.astype(jnp.bfloat16)
+        args = (ck, cv, idx, jnp.int32(2), jnp.int32(5), jnp.int32(0),
+                q, kn, vn)
+        attn, ok, ov = fused_gather_attend(*args, n_head=n_head, interpret=True)
+        ref_attn, rk, rv = reference_gather_attend(*args, n_head=n_head)
+        np.testing.assert_array_equal(
+            np.asarray(ok[1, 2, :, :6]).view(np.uint8),
+            np.asarray(rk[1, 2, :, :6]).view(np.uint8),
+        )
+        np.testing.assert_allclose(
+            np.asarray(attn, np.float32), np.asarray(ref_attn, np.float32),
+            atol=5e-2, rtol=5e-2,
+        )
+
+
+class TestFusedBeamDecode:
+    """Full beam_decode with the fused step ≡ the eager XLA path: identical
+    tokens, lengths, and scores on the dev model in f32 (where the kernel's
+    only numeric delta is float reduction order — far below selection ties
+    on random logits)."""
+
+    @pytest.mark.parametrize("ctx_bucket", [None, 8])
+    def test_token_parity(self, ctx_bucket):
+        from whisper_tpu.decode.beam import beam_decode
+
+        dims = MODEL_DIMS["dev"]
+        b, beam, p_len, max_new = 2, 3, 2, 13
+        key = jax.random.PRNGKey(3)
+        params = init_params(dims, key)
+        enc = 0.3 * jax.random.normal(
+            key, (b, dims.n_audio_ctx, dims.n_audio_state)
+        )
+        prompt = jnp.tile(jnp.array([[7, 11]], jnp.int32), (b, 1))
+        kw = dict(
+            dims=dims, eot=5, max_new_tokens=max_new, beam_size=beam,
+            ctx_bucket=ctx_bucket,
+        )
+        ref = beam_decode(params, enc, prompt, fused=False, **kw)
+        fus = beam_decode(params, enc, prompt, fused=True, **kw)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(fus[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(fus[1]))
+        np.testing.assert_allclose(
+            np.asarray(ref[2]), np.asarray(fus[2]), rtol=1e-4, atol=1e-4
+        )
+
+
+class TestFusedDecoderStep:
+    """decoder_step_fused ≡ reorder_cache ∘ decoder_step over several steps
+    with real beam-style permutations, on the dev model."""
+
+    @pytest.mark.parametrize("kv_dtype", [jnp.float32, jnp.bfloat16])
+    def test_multi_step_parity(self, kv_dtype):
+        dims = MODEL_DIMS["dev"]
+        b, beam, p_len, ctx = 2, 2, 3, 16
+        bk = b * beam
+        key = jax.random.PRNGKey(0)
+        params = init_params(dims, key)
+        enc = jax.random.normal(key, (b, dims.n_audio_ctx, dims.n_audio_state))
+        cross = precompute_cross_kv(params, enc, dims)
+        prompt = jnp.tile(
+            jnp.arange(p_len, dtype=jnp.int32)[None], (b, 1)
+        )
+        cache = init_kv_cache(dims, b, ctx, dtype=kv_dtype)
+        logits, cache = decoder_prefill(params, prompt, cache, cross, dims)
+
+        # Reference: eager reorder then step. Fused: pending permutation.
+        ref_cache = {
+            n: jnp.repeat(v, beam, axis=1) for n, v in cache.items()
+        }
+        planes = plane_cache_from_prefill(cache, beam)
+        pending = jnp.arange(bk, dtype=jnp.int32)
+        parity = jnp.int32(0)
+
+        rng = np.random.default_rng(1)
+        tok = jnp.array(rng.integers(0, 100, bk), jnp.int32)
+        perms = [
+            jnp.arange(bk, dtype=jnp.int32),
+            jnp.array([1, 0, 3, 3], jnp.int32),
+            jnp.array([0, 0, 2, 3], jnp.int32),
+        ]
+        for step, perm in enumerate(perms):
+            pos = jnp.int32(p_len + step)
+            # reference path: apply previous permutation eagerly, then step
+            ref_cache = reorder_cache(ref_cache, pending, bk)
+            ref_logits, ref_cache = decoder_step(
+                params, tok, pos, ref_cache, cross, dims, beam_width=beam
+            )
+            fus_logits, planes = decoder_step_fused(
+                params, tok, pos, planes, parity, pending, cross, dims,
+                beam_width=beam, interpret=True,
+            )
+            tol = 2e-4 if kv_dtype == jnp.float32 else 5e-2
+            np.testing.assert_allclose(
+                np.asarray(fus_logits), np.asarray(ref_logits),
+                atol=tol, rtol=tol,
+            )
+            parity = 1 - parity
+            pending = perm
+            tok = jnp.array(rng.integers(0, 100, bk), jnp.int32)

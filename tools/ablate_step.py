@@ -323,3 +323,44 @@ def self_T_step(carry, i):
 
 timed(f"self-attn+update x{L} T-layout (read {cache_gb:.2f} GB)",
       (q0, ckT, cvT), self_T_step, per_iter_gb=cache_gb)
+
+# --- fused gather+append+attend kernel (ops/fused_step.py) -------------------
+# Replaces BOTH the beam reorder stream and the self-attention read: per
+# layer, rows gather through the pending permutation into VMEM, append, write
+# to the opposite plane, and attend. Compare against the sum of
+# "self-attn+update" and the best "cache reorder" rows above.
+from whisper_tpu.ops import fused_step as _fused  # noqa: E402
+
+_interp = jax.default_backend() != "tpu"
+if BEAM > 1 and _fused.supported(D, _interp):
+    CTXP = -(-CTX // 64) * 64  # tile-aligned physical window
+    pk = jax.random.normal(
+        key, (2, L, BK, CTXP, D), jnp.bfloat16
+    ).astype(KV)
+    pv = jax.random.normal(
+        key, (2, L, BK, CTXP, D), jnp.bfloat16
+    ).astype(KV)
+    fq0 = jax.random.normal(key, (BK, D), jnp.bfloat16)
+    fused_gb = 2 * 2 * L * BK * CTXP * D * pk.dtype.itemsize / 1e9  # r+w, k+v
+
+    def fused_step(carry, i, rot):
+        h, pk, pv = carry
+        par = jax.lax.rem(i, 2)
+
+        def one(inner, l):
+            hh, pk, pv = inner
+            attn, pk, pv = _fused.fused_gather_attend(
+                pk, pv, rot, l, jnp.int32(CTXP - 1), par, hh, hh, hh,
+                n_head=H, interpret=_interp,
+            )
+            return (jnp.tanh(attn).astype(hh.dtype), pk, pv), None
+
+        (h, pk, pv), _ = jax.lax.scan(
+            one, (h, pk, pv), jnp.arange(L, dtype=jnp.int32)
+        )
+        return (h, pk, pv)
+
+    timed(
+        f"fused permute+append+attend x{L} (r+w {fused_gb:.2f} GB)",
+        (fq0, pk, pv), fused_step, consts=(rot,), per_iter_gb=fused_gb,
+    )

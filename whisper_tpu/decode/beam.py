@@ -122,6 +122,37 @@ class BeamState(NamedTuple):
     fin: FinishedSet
 
 
+class FusedBeamState(NamedTuple):
+    """Beam state for the fused decode step (ops/fused_step.py): the cache is
+    a ping-pong plane pair and the beam reshuffle is PENDING — chosen at this
+    step's selection, applied lazily inside the next step's attention read."""
+
+    pos: jnp.ndarray  # scalar int32 — next position to write
+    tokens: jnp.ndarray  # [B*K, L]
+    scores: jnp.ndarray  # [B*K]
+    cache: KVCache  # {"k"/"v": [2, L, B*K, ctx, H*Dh]}
+    parity: jnp.ndarray  # scalar int32 — plane the next step READS
+    pending: jnp.ndarray  # [B*K] int32 — permutation the next step applies
+    fin: FinishedSet
+
+
+def resolve_fused(fused, dims: ModelDims) -> bool:
+    """"auto" → the hybrid step on TPU when the merged head dim is
+    lane-aligned (every real Whisper model; the tiny `dev` test model is
+    not): the pending beam permutation runs as the Pallas grouped-DMA
+    kernel and attention as blockdiag XLA matmuls — measured ~10.6 ms/step
+    for the combined streams vs ~20.5 eager at large-v3 beam=5 batch=16
+    (tools/probe_fused.py r4). Explicit bools force; CPU forces run the
+    kernel in Pallas interpret mode (slow — tests only)."""
+    from whisper_tpu.ops.fused_step import supported
+
+    interpret = jax.default_backend() != "tpu"
+    hd = dims.n_text_state
+    if fused == "auto":
+        return (not interpret) and supported(hd, interpret)
+    return bool(fused) and supported(hd, interpret)
+
+
 def reorder_cache(
     cache: KVCache,
     gather_idx: jnp.ndarray,
@@ -298,6 +329,10 @@ def beam_decode(
     # while_loops over growing cache buffers — aliasing-safe; see
     # greedy.ctx_bucket_limits). "auto" = CTX_BUCKET when ≥3 segments
     # cover the budget, else a single full-size segment; int/None/0 force.
+    fused="auto",  # fused gather+append+attend decode step (see
+    # resolve_fused / ops/fused_step.py): the beam reshuffle becomes a
+    # pending permutation applied inside the Pallas attention kernel —
+    # one cache read + one write per step instead of reorder+attend.
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best
     finished hypothesis per batch item (length-normalized score) — plus
@@ -334,12 +369,20 @@ def beam_decode(
         ctx_bucket_limits(total_len, ctx_bucket) if ctx_bucket else [total_len]
     )
     limits = [l for l in limits if l > p_len] or [total_len]
+    use_fused = resolve_fused(fused, dims)
+    interpret = jax.default_backend() != "tpu"
+    if use_fused:
+        # Physical segment sizes stay sublane-tile aligned for the kernel's
+        # [ctx, HD] row blocks; loop bounds still stop at the logical limit.
+        phys = [-(-l // 64) * 64 for l in limits]
+    else:
+        phys = limits
 
     # --- prefill ONCE per utterance (beams are identical at the prompt),
     # then fan the self-cache out to the beam axis. The cache starts at the
     # first segment's physical size and grows at segment boundaries
     # (greedy.ctx_bucket_limits) ---
-    cache_b = init_kv_cache(dims, b, limits[0], dtype=kv_cache_dtype or compute_dtype)
+    cache_b = init_kv_cache(dims, b, phys[0], dtype=kv_cache_dtype or compute_dtype)
     logits, cache_b = decoder_prefill(
         params, prompt, cache_b, cross_kv, dims, compute_dtype,
     )
@@ -348,7 +391,12 @@ def beam_decode(
         no_speech_probs = jax.nn.softmax(
             logits[:, sot_index, :].astype(jnp.float32), axis=-1
         )[:, nospeech_id]
-    cache = {key: jnp.repeat(v, k, axis=1) for key, v in cache_b.items()}
+    if use_fused:
+        from whisper_tpu.models.decoder import plane_cache_from_prefill
+
+        cache = plane_cache_from_prefill(cache_b, k)
+    else:
+        cache = {key: jnp.repeat(v, k, axis=1) for key, v in cache_b.items()}
 
     tokens_b = jnp.full((b, total_len), eot, dtype=jnp.int32)
     tokens_b = tokens_b.at[:, :p_len].set(prompt)
@@ -380,16 +428,12 @@ def beam_decode(
         sel0.eot_valid,
     )
 
-    state = BeamState(jnp.int32(p_len + 1), tokens, scores, cache, fin)
-
-    def body(s: BeamState) -> BeamState:
-        prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, 1, keepdims=False)
-        logits, cache = decoder_step(
-            params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype,
-            beam_width=k,
-        )
-        lp = logprobs_of(logits, s.tokens, s.pos)  # [B*K, V]
-
+    def advance(s_tokens, s_scores, s_fin, lp, pos):
+        """One candidate-selection round (shared by the eager and fused
+        bodies): logprobs → openai candidate walk → finished insertions →
+        continuation gather. Returns (tokens, scores, fin, act_rows) where
+        act_rows is the [B*K] source-beam permutation of the continuations.
+        """
         # openai's candidate pool: top (K+1) per beam (≥ K non-EOT overall),
         # flattened beam-major → dict insertion order. topk_wide: k argmax
         # passes, NOT lax.top_k (sort-based — dominated the step, see its
@@ -400,7 +444,7 @@ def beam_decode(
             )
         else:
             top_lp, top_tok = topk_wide(lp, k + 1)  # [B*K, K+1]
-        cand_scores = (s.scores[:, None] + top_lp).reshape(b, k * (k + 1))
+        cand_scores = (s_scores[:, None] + top_lp).reshape(b, k * (k + 1))
         cand_tokens = top_tok.reshape(b, k * (k + 1))
         cand_src = (
             jax.lax.broadcasted_iota(jnp.int32, (b, k * (k + 1)), 1) // (k + 1)
@@ -414,49 +458,99 @@ def beam_decode(
         base = jax.lax.broadcasted_iota(jnp.int32, (b, k), 0) * k
         eot_rows = (base + eot_src).reshape(bk)
         if "fin" in _ABLATE:  # perf attribution only — WRONG results
-            fin = s.fin
+            fin = s_fin
         else:
-            eot_tokens = jnp.take(s.tokens, eot_rows, axis=0).reshape(
+            eot_tokens = jnp.take(s_tokens, eot_rows, axis=0).reshape(
                 b, k, total_len
             )
             fin = _insert_finished(
-                s.fin,
+                s_fin,
                 eot_tokens,
                 sel.eot_scores,
-                jnp.full((b, k), s.pos + 1, jnp.int32),
+                jnp.full((b, k), pos + 1, jnp.int32),
                 sel.eot_valid,
             )
 
-        # --- continuations: gather token buffers + self-cache by source beam,
-        # write the chosen token ---
+        # --- continuations: gather token buffers by source beam, write the
+        # chosen token ---
         act_src = jnp.take_along_axis(cand_src, sel.act_idx, axis=1)
         act_tok = jnp.take_along_axis(cand_tokens, sel.act_idx, axis=1)
         act_rows = (base + act_src).reshape(bk)
-        tokens = jnp.take(s.tokens, act_rows, axis=0)
+        tokens = jnp.take(s_tokens, act_rows, axis=0)
         tokens = jax.lax.dynamic_update_index_in_dim(
-            tokens, act_tok.reshape(bk), s.pos, axis=1
+            tokens, act_tok.reshape(bk), pos, axis=1
+        )
+        return tokens, sel.act_scores.reshape(bk), fin, act_rows
+
+    def body(s: BeamState) -> BeamState:
+        prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, 1, keepdims=False)
+        logits, cache = decoder_step(
+            params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype,
+            beam_width=k,
+        )
+        lp = logprobs_of(logits, s.tokens, s.pos)  # [B*K, V]
+        tokens, scores, fin, act_rows = advance(
+            s.tokens, s.scores, s.fin, lp, s.pos
         )
         if "reorder" not in _ABLATE:  # ablation: perf attribution only
             # The cache buffer is the current segment's physical size, so
             # the reshuffle streams only the covering window.
             cache = reorder_cache(cache, act_rows, bk)
-        return BeamState(
-            s.pos + 1, tokens, sel.act_scores.reshape(bk), cache, fin
+        return BeamState(s.pos + 1, tokens, scores, cache, fin)
+
+    def body_fused(s: FusedBeamState) -> FusedBeamState:
+        from whisper_tpu.models.decoder import decoder_step_fused
+
+        prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, 1, keepdims=False)
+        logits, cache = decoder_step_fused(
+            params, prev, s.pos - 1, s.cache, s.parity, s.pending, cross_kv,
+            dims, compute_dtype, beam_width=k, interpret=interpret,
+        )
+        lp = logprobs_of(logits, s.tokens, s.pos)
+        tokens, scores, fin, act_rows = advance(
+            s.tokens, s.scores, s.fin, lp, s.pos
+        )
+        # The cache reshuffle is NOT applied here: it becomes the pending
+        # permutation the next step's kernel reads through.
+        return FusedBeamState(
+            s.pos + 1, tokens, scores, cache, 1 - s.parity, act_rows, fin
         )
 
     # One while_loop per cache segment (greedy.py: segment-growth decode).
-    for i, end in enumerate(limits):
-        seg_end = jnp.int32(min(end, total_len))
+    if use_fused:
+        from whisper_tpu.models.decoder import grow_plane_cache
 
-        def cond(s: BeamState, _end=seg_end):
-            return (s.pos < _end) & ~jnp.all(s.fin.valid)
+        # Rows within a sample are identical after the prefill fan-out, so
+        # the initial pending permutation is the identity.
+        state = FusedBeamState(
+            jnp.int32(p_len + 1), tokens, scores, cache, jnp.int32(0),
+            jnp.arange(bk, dtype=jnp.int32), fin,
+        )
+        for i, end in enumerate(limits):
+            seg_end = jnp.int32(min(end, total_len))
 
-        state = jax.lax.while_loop(cond, body, state)
-        if i + 1 < len(limits):
-            state = BeamState(
-                state.pos, state.tokens, state.scores,
-                grow_cache(state.cache, limits[i + 1]), state.fin,
-            )
+            def cond_f(s: FusedBeamState, _end=seg_end):
+                return (s.pos < _end) & ~jnp.all(s.fin.valid)
+
+            state = jax.lax.while_loop(cond_f, body_fused, state)
+            if i + 1 < len(limits):
+                state = state._replace(
+                    cache=grow_plane_cache(state.cache, phys[i + 1])
+                )
+    else:
+        state = BeamState(jnp.int32(p_len + 1), tokens, scores, cache, fin)
+        for i, end in enumerate(limits):
+            seg_end = jnp.int32(min(end, total_len))
+
+            def cond(s: BeamState, _end=seg_end):
+                return (s.pos < _end) & ~jnp.all(s.fin.valid)
+
+            state = jax.lax.while_loop(cond, body, state)
+            if i + 1 < len(limits):
+                state = BeamState(
+                    state.pos, state.tokens, state.scores,
+                    grow_cache(state.cache, limits[i + 1]), state.fin,
+                )
 
     final = state
 

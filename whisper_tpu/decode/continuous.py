@@ -79,9 +79,12 @@ def init_slot_state(
     eot: int,
     cache_dtype=jnp.float32,
     kv_dtype=None,
+    audio_ctx: Optional[int] = None,  # EngineConfig.audio_ctx crop: the
+    # per-slot cross-KV is stored at the cropped width
 ) -> SlotState:
     h, dh = dims.n_text_head, dims.n_text_state // dims.n_text_head
-    cross_shape = (dims.n_text_layer, n_slots, h, dh, dims.n_audio_ctx)
+    n_ac = min(audio_ctx or dims.n_audio_ctx, dims.n_audio_ctx)
+    cross_shape = (dims.n_text_layer, n_slots, h, dh, n_ac)
     cross_dtype = kv_dtype or cache_dtype
     return SlotState(
         tokens=jnp.full((n_slots, total_len), eot, jnp.int32),

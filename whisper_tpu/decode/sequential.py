@@ -37,8 +37,12 @@ from __future__ import annotations
 from typing import List, Sequence, Tuple
 
 # Fixed prefix-length menu (tokens). Totals = base prompt + 1 (<|startofprev|>)
-# + one of these; 222 ≈ openai's n_text_ctx//2 - 1 crop.
-PREFIX_LENS = (31, 63, 127, 222)
+# + one of these; 222 ≈ openai's n_text_ctx//2 - 1 crop. The menu is dense
+# enough that at most ~32 real most-recent-context tokens are ever dropped
+# versus openai's natural-length prompt (ADVICE r3 #3 — the sparse 4-entry
+# menu silently dropped up to ~95); executables still compile lazily, one
+# per length actually used, bounded at len(PREFIX_LENS).
+PREFIX_LENS = (31, 63, 95, 127, 159, 191, 222)
 MIN_ADVANCE_SECONDS = 1.0
 WINDOW_SECONDS = 30.0
 TIME_PER_TOKEN = 0.02

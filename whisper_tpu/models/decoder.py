@@ -217,6 +217,152 @@ def _decoder_forward(
     return logits, {"k": new_k, "v": new_v}
 
 
+def plane_cache_from_prefill(cache: KVCache, beam: int) -> KVCache:
+    """Prefilled standard cache [L, B, ctx, H, Dh] → ping-pong plane pair
+    [2, L, B*beam, ctx, H*Dh] for the fused decode step (ops/fused_step.py).
+
+    Plane 0 holds the beam-fanned prefill rows (the first fused step reads
+    parity 0); plane 1 is the first write target and starts as zeros — every
+    byte of it is rewritten before any step reads it."""
+    l, b, ctx, h, dh = cache["k"].shape
+
+    def fan(x):
+        merged = x.reshape(l, b, ctx, h * dh)
+        rep = jnp.repeat(merged, beam, axis=1)
+        return jnp.stack([rep, jnp.zeros_like(rep)])
+
+    return {"k": fan(cache["k"]), "v": fan(cache["v"])}
+
+
+def grow_plane_cache(cache: KVCache, new_len: int) -> KVCache:
+    """Segment-growth pad for the plane-pair layout (position axis = 3)."""
+    cur = cache["k"].shape[3]
+    if new_len <= cur:
+        return cache
+    pad = [(0, 0), (0, 0), (0, 0), (0, new_len - cur), (0, 0)]
+    return {n: jnp.pad(v, pad) for n, v in cache.items()}
+
+
+def decoder_step_fused(
+    params: Params,
+    token: jnp.ndarray,  # [BK] int32 — token at absolute position `pos`
+    pos: jnp.ndarray,  # scalar int32
+    cache: KVCache,  # {"k"/"v": [2, L, BK, ctx, H*Dh]} ping-pong planes
+    parity: jnp.ndarray,  # scalar int32: plane to READ; writes go to 1-parity
+    pending_idx: jnp.ndarray,  # [BK] int32 — beam permutation chosen at the
+    # PREVIOUS step's selection, applied lazily during this step's cache read
+    cross_kv: KVCache,
+    dims: ModelDims,
+    compute_dtype=jnp.float32,
+    beam_width: int = 1,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """One autoregressive step with the pending beam permutation applied by
+    the DMA permute kernel (ops/fused_step.py permute_append) and the
+    attention matmuls in XLA — the division of labor round-4's measurements
+    force: Pallas moves the cache at ~590 GB/s (vs ~250 for the one-hot
+    reorder) but Mosaic's in-kernel matmuls run ~20x below XLA's, so the
+    compute stays out of the kernel. Numerically matches
+    :func:`decoder_step` composed with a cache reorder by ``pending_idx``.
+    Returns (logits [BK, V] f32, cache with plane ``1-parity`` current).
+    The caller flips parity each step."""
+    from whisper_tpu.ops.fused_step import permute_append
+
+    dec = params["decoder"]
+    n_head = dims.n_text_head
+    bk = token.shape[0]
+    pos = jnp.asarray(pos, jnp.int32)
+    pos_emb = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0)
+    x = layers.embed(dec["tok_emb"], token[:, None]) + pos_emb
+    x = x.astype(compute_dtype)
+    ctx = cache["k"].shape[3]
+    hd = dims.n_text_state
+    dh = hd // n_head
+    # Causal mask [1, ctx, 1] for the merged-layout scores [BK, ctx, H].
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, ctx, 1), 1)
+    mask = jnp.where(k_pos <= pos, 0.0, NEG_INF)  # f32
+    # Block-diagonal head fold: scores/weights stay in the cache's MERGED
+    # [.., ctx, H*Dh] layout end-to-end, so the plane slice fuses into an
+    # elementwise read + two big XLA matmuls instead of H tiny batched
+    # ones. Measured (tools/probe_fused.py PROBE_MODE=hybrid2, large-v3
+    # beam=5 b16 fp8): permute+append+attend ≈ 10.6 ms/step net vs 20.5
+    # for the eager one-hot reorder + per-head einsum — and the slice
+    # never materializes a copy (the naive slice+reshape+qkv path cost
+    # +24 ms/step).
+    bd = (
+        jnp.arange(hd)[:, None] // dh == jnp.arange(n_head)[None]
+    ).astype(compute_dtype)  # [HD, H]
+    scale = float(dh) ** -0.5
+    plane = 1 - jnp.asarray(parity, jnp.int32)
+
+    def block(carry, xs):
+        h, ck, cv = carry
+        layer, bp, xk_l, xv_l = xs
+
+        hn = layers.layer_norm(bp["ln1"], h)
+        q = layers.linear(bp["attn"]["q"], hn)[:, 0, :]
+        k_new = layers.linear(bp["attn"]["k"], hn)[:, 0, :]
+        v_new = layers.linear(bp["attn"]["v"], hn)[:, 0, :]
+        ck, cv = permute_append(
+            ck, cv, pending_idx, layer, pos, parity, k_new, v_new,
+            interpret=interpret,
+        )
+        # Blockdiag XLA attention over the permuted plane, merged layout.
+        k2d = jax.lax.dynamic_index_in_dim(
+            jax.lax.dynamic_index_in_dim(ck, plane, 0, keepdims=False),
+            layer, 0, keepdims=False,
+        )  # [BK, ctx, HD]
+        v2d = jax.lax.dynamic_index_in_dim(
+            jax.lax.dynamic_index_in_dim(cv, plane, 0, keepdims=False),
+            layer, 0, keepdims=False,
+        )
+        kq = k2d.astype(compute_dtype) * q[:, None, :]
+        scores = (
+            jnp.einsum(
+                "bcj,jh->bch", kq, bd, preferred_element_type=jnp.float32
+            )
+            * scale
+            + mask
+        )
+        w = jax.nn.softmax(scores, axis=1)  # f32, over ctx
+        w_exp = jnp.einsum(
+            "bch,hj->bcj", w.astype(compute_dtype), bd.T,
+            preferred_element_type=jnp.float32,
+        ).astype(compute_dtype)  # exact: one nonzero product per element
+        attn = jnp.sum(
+            (w_exp * v2d.astype(compute_dtype)).astype(jnp.float32), axis=1
+        ).astype(compute_dtype)  # [BK, HD]
+        h = h + layers.linear(bp["attn"]["o"], attn[:, None, :])
+
+        hn = layers.layer_norm(bp["ln2"], h)
+        qx = layers.split_heads(layers.linear(bp["cross"]["q"], hn), n_head)
+        if beam_width > 1:
+            dhx = qx.shape[-1]
+            qx = qx.reshape(bk // beam_width, beam_width, n_head, dhx)
+            cross_out = layers.cross_attention_T(qx, xk_l, xv_l)
+            cross_out = cross_out.reshape(bk, 1, n_head, dhx)
+        else:
+            cross_out = layers.cross_attention_T(qx, xk_l, xv_l)
+        h = h + layers.linear(bp["cross"]["o"], layers.merge_heads(cross_out))
+
+        h = h + layers.mlp(bp["mlp"], layers.layer_norm(bp["ln3"], h))
+        return (h, ck, cv), None
+
+    n_layer = dims.n_text_layer
+    xs = (
+        jnp.arange(n_layer, dtype=jnp.int32),
+        dec["blocks"],
+        cross_kv["k"],
+        cross_kv["v"],
+    )
+    (x, new_k, new_v), _ = jax.lax.scan(
+        block, (x, cache["k"], cache["v"]), xs
+    )
+    x = layers.layer_norm(dec["ln"], x)
+    logits = layers.unembed(dec["tok_emb"], x)
+    return logits[:, 0, :], {"k": new_k, "v": new_v}
+
+
 def decoder_prefill(
     params: Params,
     prompt: jnp.ndarray,  # [B, P]

@@ -1,0 +1,711 @@
+"""Fused gather+append+attend: the beam decode-step's KV streams as ONE kernel.
+
+The decode step of beam search moves the self-attention cache three times per
+token in the XLA formulation (decode/beam.py round-3 attribution, PERF.md):
+
+* the beam reshuffle reads and rewrites the whole cache window through a
+  one-hot matmul (~11 ms/step at large-v3 beam=5 batch=16 — the upcast to a
+  matmul operand triples the logical bytes);
+* the self-attention read streams the same window again (~8.7 ms vs a 1.8 ms
+  roofline — XLA lowers the [BK,1,H,Dh]×[BK,ctx,H,Dh] batched matmul as many
+  tiny MXU programs that cannot saturate HBM).
+
+But a beam permutation moves bytes and computes nothing, and attention wants
+exactly those bytes in VMEM. This kernel makes the permutation *pending*
+(lazy): the reshuffle chosen at step t is applied during step t+1's attention
+pass. Per grid cell (a group of G destination beam rows) the kernel
+
+1. DMAs the G source rows — selected by scalar-prefetched indices — from the
+   cache's *read plane* in HBM into a VMEM cell buffer (rows move in the
+   cache storage dtype: an fp8 cache moves half the bytes of bf16,
+   converted nowhere),
+2. appends the step's new K/V rows at the write position (one batched
+   masked blend — Mosaic cannot store single sublane rows at dynamic
+   indices),
+3. writes the rows back out to the *write plane* (the permutation crosses
+   rows, so in-place is unsafe: the cache carries two planes,
+   [2, L, BK, ctx, H*Dh], and each step flips parity — a ping-pong pair
+   that XLA's while-loop carry aliases with zero copies because the array
+   never changes shape or identity),
+4. computes the G rows' attention outputs as BATCHED MXU ops — scores via a
+   [G, ctx, HD]×[G, HD, H] block-diagonal-folded matmul, softmax in f32 on
+   the VPU, and the value contraction as a second batched matmul with a
+   diagonal-block extraction.
+
+Cells are software-pipelined two-deep: while cell i computes, cell i+1's
+rows stream in and cell i-1's rows stream out. Per-ROW compute (v1 of this
+kernel) measured 28.4 ms/step at large-v3 beam=5 batch=16 — 2,560 small
+op-chains per step drowned the 7.6 ms pure-DMA floor in per-op overhead
+(tools/probe_fused.py); batching per CELL cuts the op count 8×.
+
+Total traffic: one read + one write of the window — the reorder stream is
+gone and the attention read rides the DMA engines at copy bandwidth instead
+of matmul-operand width. Exactness: the gather is a byte copy; the appended
+row round-trips through the storage dtype exactly as the XLA path's
+cache-write does; scores/softmax accumulate in f32 like layers.qkv_attention
+(bit-differences are float reduction order only). Differential-tested against
+the XLA path in tests/test_fused_step.py.
+
+Reference match: this replaces the hot loop the reference runs O(n²) through
+the TFLite interpreter (whisper.cpp:363-399) — the one place SURVEY.md's perf
+plan demands speed-of-light.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+
+# Perf-attribution / tuning knobs (compile-time static; see tools/
+# probe_fused.py): WHISPER_TPU_FUSED_ABLATE ∈ {nocompute, noappend} — each
+# produces WRONG transcriptions, used only to attribute kernel time on
+# hardware without per-op profiling; _GROUP overrides the rows-per-cell
+# geometry.
+import os as _os
+
+_ABLATE = frozenset(
+    filter(None, _os.environ.get("WHISPER_TPU_FUSED_ABLATE", "").split(","))
+)
+_GROUP_ENV = _os.environ.get("WHISPER_TPU_FUSED_GROUP")
+
+
+def supported(hd: int, interpret: bool) -> bool:
+    """The TPU path wants the merged head dim lane-aligned; interpret mode
+    (CPU tests) takes anything."""
+    return interpret or hd % _LANES == 0
+
+
+def _pick_group(bk: int, ctx: int, hd: int, itemsize: int) -> int:
+    """Rows per grid cell. Constraints: a divisor of BK; the [G, HD] blocks
+    need G % 8 == 0 (sublane tiling) unless G spans the whole row axis; the
+    double-buffered ring (4 cell buffers in the storage dtype) plus the
+    bf16 compute temps must fit the raised VMEM budget. G=8 at large-v3
+    fp8 shapes ≈ 10.5 MB ring + ~10.5 MB temps."""
+    cap = int(_GROUP_ENV) if _GROUP_ENV else 8
+    cell = ctx * hd
+
+    def fits(g):
+        ring = 4 * g * cell * itemsize  # 2 slots × (k+v)
+        temps = 2 * g * cell * 2  # kb+vb upcast to bf16
+        return ring + temps <= 48 * 1024 * 1024
+
+    divs = [d for d in range(bk, 0, -1) if bk % d == 0]
+    aligned = [g for g in divs if g <= cap and g % 8 == 0 and fits(g)]
+    if aligned:
+        return aligned[0]
+    # Whole-axis fallback (single cell, no cross-cell pipelining): blocks
+    # equal to the array dimension are exempt from the sublane rule.
+    return bk
+
+
+def _kernel(
+    # inputs — NOTE: the scalar operands (idxs, meta) arrive as VMEM
+    # blocks and are read with STATIC indices only. Any SMEM ref in the
+    # kernel — scalar-prefetch arg, SMEM-space operand, or SMEM scratch —
+    # degrades the whole kernel's vector compute ~15x on this toolchain
+    # (round-4 bisection, /tmp/probe_stage2.py: 5.4 → 77 us/cell for
+    # identical math); VMEM scalar extracts are the one unpoisoned path.
+    idxs_ref,  # [1, 2, G] int32 VMEM block — row 0: this cell's gather
+    # sources; row 1: the NEXT cell's (for the cross-cell DMA prefetch)
+    meta_ref,  # [1, 4] int32 VMEM block: (layer, pos, parity, 0)
+    ck_ref,  # [2, L, BK, ctx, HD] cache K planes (ANY/HBM, aliased to out)
+    cv_ref,  # [2, L, BK, ctx, HD] cache V planes (ANY/HBM, aliased to out)
+    q_ref,  # [G, HD] VMEM block — this cell's query rows (compute dtype)
+    # outputs
+    attn_ref,  # [G, HD] f32 VMEM block — UNNORMALIZED attention over
+    # positions 0..pos-1 (the caller folds in the new token's self term)
+    m_ref,  # [1, G, H] f32 — per-(row,head) score max over 0..pos-1
+    l_ref,  # [1, G, H] f32 — per-(row,head) sum of exp(score - max)
+    ck_out_ref,  # aliased ck_ref
+    cv_out_ref,  # aliased cv_ref
+    # scratch
+    kbuf,  # [2, G, ctx, HD] cache dtype — double-buffered cell pair
+    vbuf,
+    in_sems,  # DMA[(2, 2)] — (cell slot, k/v)
+    out_sems,  # DMA[(2, 2)]
+    *,
+    n_head: int,
+    group: int,
+    ablate: frozenset = frozenset(),
+):
+    layer = meta_ref[0, 0]
+    pos = meta_ref[0, 1]
+    par = meta_ref[0, 2]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    ctx, hd = kbuf.shape[2], kbuf.shape[3]
+    dh = hd // n_head
+    compute = q_ref.dtype
+    scale = float(dh) ** -0.5
+
+    def cell_in(which, slot):
+        """DMA descriptors moving a cell's G gathered rows into ring slot
+        ``slot``. ``which`` (static 0/1) selects this cell's sources or the
+        next cell's — both live in this cell's idxs block, so every scalar
+        extract stays static-indexed."""
+        cps = []
+        for g in range(group):
+            src = idxs_ref[0, which, g]
+            cps.append(
+                pltpu.make_async_copy(
+                    ck_ref.at[par, layer, src], kbuf.at[slot, g],
+                    in_sems.at[slot, 0],
+                )
+            )
+            cps.append(
+                pltpu.make_async_copy(
+                    cv_ref.at[par, layer, src], vbuf.at[slot, g],
+                    in_sems.at[slot, 1],
+                )
+            )
+        return cps
+
+    def cell_out(cell, slot):
+        base = cell * group  # traced DMA offsets are fine (unlike extracts)
+        cps = []
+        for g in range(group):
+            cps.append(
+                pltpu.make_async_copy(
+                    kbuf.at[slot, g], ck_out_ref.at[1 - par, layer, base + g],
+                    out_sems.at[slot, 0],
+                )
+            )
+            cps.append(
+                pltpu.make_async_copy(
+                    vbuf.at[slot, g], cv_out_ref.at[1 - par, layer, base + g],
+                    out_sems.at[slot, 1],
+                )
+            )
+        return cps
+
+    # In-kernel operand builds — every array here is built WITHOUT
+    # reshapes/relayouts (round-4 bisection: the flattened-cell formulation's
+    # 3D-iota→2D reshapes and lane-merges were the hidden 30+ ms/step; the
+    # same math on unreshaped rank-3 blocks runs at ~5 us/cell,
+    # tools/probe_fused.py + /tmp/probe_stage.py r4):
+    # * bd [HD, H]: block-diagonal head fold, 2D iotas;
+    # * mask3 [G, ctx, H]: causality (c >= pos — position pos is the new
+    #   token, folded in by the caller), 3D iota, no reshape;
+    # * et [H, HD]: extraction fold for the value bmm's [G, H, HD] output.
+    bd = (
+        jax.lax.broadcasted_iota(jnp.int32, (hd, n_head), 0) // dh
+        == jax.lax.broadcasted_iota(jnp.int32, (hd, n_head), 1)
+    ).astype(jnp.float32)  # [HD, H]
+    mask3 = (
+        jax.lax.broadcasted_iota(jnp.int32, (group, ctx, n_head), 1) >= pos
+    ).astype(jnp.float32) * -1e30  # [G, ctx, H]
+    et = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_head, hd), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (n_head, hd), 1) // dh
+    ).astype(jnp.float32)  # [H, HD]
+
+    def process(slot: int):
+        """Write-back + batched attention stats for the resident cell in
+        ring slot ``slot`` (static). No appends, no selects, no reshapes
+        beyond leading-singleton ones: the op classes four earlier kernel
+        revisions died or crawled on (broadcasting selects, narrow-int
+        arithmetic, custom_jvp closed_calls, lane-dim reshapes of iotas)
+        are all absent."""
+        if "nodma" not in ablate:
+            for d in cell_out(0, slot):  # cell index only shapes byte counts
+                d.start()
+        if "nocompute" in ablate:  # perf attribution only — WRONG results
+            attn_ref[...] = jnp.zeros((group, hd), attn_ref.dtype)
+            m_ref[...] = jnp.zeros((1, group, n_head), jnp.float32)
+            l_ref[...] = jnp.ones((1, group, n_head), jnp.float32)
+            return
+        kb = kbuf[slot].astype(compute)  # [G, ctx, HD]
+        vb = vbuf[slot].astype(compute)
+        if "castonly" in ablate:  # perf attribution only — WRONG results
+            attn_ref[...] = (kb[:, 0, :] + vb[:, 0, :]).astype(attn_ref.dtype)
+            m_ref[...] = jnp.zeros((1, group, n_head), jnp.float32)
+            l_ref[...] = jnp.ones((1, group, n_head), jnp.float32)
+            return
+        # Per-row query operand [G, HD, H] = q ⊙ block-diagonal fold (f32:
+        # Mosaic only lowers non-no-op minor-dim inserts for 32-bit types).
+        qmat = (
+            q_ref[...].astype(jnp.float32)[:, :, None] * bd[None]
+        ).astype(compute)  # [G, HD, H]
+        scores = jax.lax.dot_general(
+            kb, qmat,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, ctx, H]
+        scores = scores * scale + mask3
+        # Unnormalized softmax stats along ctx; the caller merges the new
+        # token's self term via exact online softmax. Spelled out in lax
+        # ops: jax.nn.softmax is a custom_jvp whose closed_call breaks
+        # (and, when it compiles, crawls in) Mosaic lowering.
+        smax = jnp.max(scores, axis=1, keepdims=True)  # [G, 1, H]
+        sexp = jnp.exp(scores - smax)
+        m_ref[...] = smax.reshape(1, group, n_head)
+        l_ref[...] = jnp.sum(sexp, axis=1, keepdims=True).reshape(
+            1, group, n_head
+        )
+        w = sexp.astype(compute)  # [G, ctx, H] — values in [0, 1]
+        if "novalue" in ablate:  # perf attribution only — WRONG results
+            attn_ref[...] = (
+                kb[:, 0, :] * w[:, 0, :1].astype(compute)
+            ).astype(attn_ref.dtype)
+            return
+        # Value contraction as a second batched matmul; head h's true
+        # output lives in lanes h*dh..(h+1)*dh of vout[:, h, :], extracted
+        # by the et fold.
+        wT = jnp.swapaxes(w, 1, 2)  # [G, H, ctx]
+        vout = jax.lax.dot_general(
+            wT, vb,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [G, H, HD]
+        attn_ref[...] = jnp.sum(vout * et[None], axis=1)
+
+    # --- software pipeline: in(i+1) and out(i-1) ride under compute(i).
+    # The ring slot is i's parity; the branch split keeps every scratch
+    # index STATIC (Mosaic rejects dynamic sublane-adjacent stores). The
+    # slot being rewritten for cell i+1 (1-slot) last held cell i-1, so its
+    # out-DMAs drain first; wait descriptors reuse cell 0's refs — only the
+    # semaphore and byte count matter for a wait. ----------------------------
+    is0 = jax.lax.rem(i, 2) == 0
+
+    if "nodma" in ablate:  # perf attribution only — WRONG results: isolates
+        # the compute path (scratch holds garbage, no HBM traffic at all).
+        process(0)
+        return
+
+    @pl.when(i == 0)
+    def _():
+        for d in cell_in(0, 0):
+            d.start()
+
+    @pl.when(is0)
+    def _():
+        @pl.when(i + 1 < n)
+        def _():
+            @pl.when(i >= 1)
+            def _():
+                for d in cell_out(0, 1):
+                    d.wait()
+            for d in cell_in(1, 1):
+                d.start()
+        for d in cell_in(0, 0):
+            d.wait()
+        process(0)
+        @pl.when(i == n - 1)
+        def _():
+            @pl.when(i >= 1)
+            def _():
+                for d in cell_out(0, 1):
+                    d.wait()
+            for d in cell_out(0, 0):
+                d.wait()
+
+    @pl.when(~is0)
+    def _():
+        @pl.when(i + 1 < n)
+        def _():
+            for d in cell_out(0, 0):
+                d.wait()
+            for d in cell_in(1, 0):
+                d.start()
+        for d in cell_in(0, 1):
+            d.wait()
+        process(1)
+        @pl.when(i == n - 1)
+        def _():
+            for d in cell_out(0, 0):
+                d.wait()
+            for d in cell_out(0, 1):
+                d.wait()
+
+
+def fused_gather_attend(
+    cache_k: jnp.ndarray,  # [2, L, BK, ctx, HD] storage dtype
+    cache_v: jnp.ndarray,
+    idx: jnp.ndarray,  # [BK] int32 destination→source rows (dups allowed)
+    layer: jnp.ndarray,  # scalar int32
+    pos: jnp.ndarray,  # scalar int32 append/query position
+    parity: jnp.ndarray,  # scalar int32 read plane; writes go to 1-parity
+    q: jnp.ndarray,  # [BK, HD] compute dtype
+    k_new: jnp.ndarray,  # [BK, HD] (cast to cache dtype here)
+    v_new: jnp.ndarray,
+    *,
+    n_head: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One layer's pending-permutation attention step.
+
+    Returns (attn [BK, HD] in q.dtype, cache_k, cache_v) where the returned
+    caches alias the inputs with plane ``1-parity`` holding the permuted
+    window with the new row appended. Rows beyond ``pos`` in the write plane
+    carry stale bytes from the gathered source rows — they are masked out of
+    the scores and rewritten before any step can read them.
+    """
+    planes, n_layer, bk, ctx, hd = cache_k.shape
+    assert planes == 2, "cache must carry a ping-pong plane pair"
+    group = _pick_group(bk, ctx, hd, cache_k.dtype.itemsize)
+    dh = hd // n_head
+    ncells = bk // group
+    # Scalar operands as VMEM blocks (see _kernel's note on the SMEM
+    # poison): idxs carries each cell's sources AND the next cell's (for
+    # the static-indexed cross-cell prefetch); meta is one [1, 4] row.
+    idx2 = idx.astype(jnp.int32).reshape(ncells, group)
+    idxs = jnp.stack(
+        [idx2, jnp.concatenate([idx2[1:], idx2[-1:]], axis=0)], axis=1
+    )  # [C, 2, G]
+    meta = jnp.stack(
+        [
+            jnp.asarray(layer, jnp.int32),
+            jnp.asarray(pos, jnp.int32),
+            jnp.asarray(parity, jnp.int32),
+            jnp.int32(0),
+        ]
+    ).reshape(1, 4)
+    kernel = functools.partial(
+        _kernel, n_head=n_head, group=group, ablate=_ABLATE
+    )
+    # Plain GridSpec + SMEM scalar operands — NOT PrefetchScalarGridSpec:
+    # the prefetch grid spec alone degrades this kernel's in-cell compute
+    # ~15x on v5e (79 vs 5.4 us/cell for identical math — round-4 bisection,
+    # /tmp/probe_stage2.py variant=prefetch). The scalars here are only
+    # read inside the kernel for DMA source offsets, never in index maps,
+    # so ordinary SMEM inputs are sufficient.
+    grid_kwargs = dict(
+        grid=(ncells,),
+        in_specs=[
+            pl.BlockSpec((1, 2, group), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 4), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((group, hd), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((group, hd), lambda i: (i, 0)),
+            pl.BlockSpec((1, group, n_head), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, group, n_head), lambda i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+    )
+    row_bytes = ctx * hd * cache_k.dtype.itemsize
+    attn_u, m_k, l_k, ck, cv = pl.pallas_call(
+        kernel,
+        **grid_kwargs,
+        scratch_shapes=[
+            pltpu.VMEM((2, group, ctx, hd), cache_k.dtype),
+            pltpu.VMEM((2, group, ctx, hd), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((bk, hd), jnp.float32),
+            jax.ShapeDtypeStruct((ncells, group, n_head), jnp.float32),
+            jax.ShapeDtypeStruct((ncells, group, n_head), jnp.float32),
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ),
+        # inputs (incl. the 2 scalar-prefetch args): 2=cache_k → out 3,
+        # 3=cache_v → out 4 (verified convention: scalar args count).
+        input_output_aliases={2: 3, 3: 4},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bk * ctx * hd * n_head * 2,
+            bytes_accessed=4 * bk * row_bytes,
+            transcendentals=bk * ctx * n_head,
+        ),
+        interpret=interpret,
+    )(
+        idxs,
+        meta,
+        cache_k,
+        cache_v,
+        q,
+    )
+    # --- XLA epilogue: write the new rows, fold in the self term ----------
+    # The kernel never sees position pos; the new K/V rows land here (in
+    # DESTINATION order — they belong to this step's token) and the token's
+    # self-attention term merges via exact online softmax. k/v round-trip
+    # through the storage dtype first so the numbers match what any later
+    # step will read back from the cache.
+    kc = k_new.astype(cache_k.dtype)
+    vc = v_new.astype(cache_v.dtype)
+    zero = jnp.int32(0)
+    ck = jax.lax.dynamic_update_slice(
+        ck, kc[None, None, :, None, :],
+        (1 - jnp.asarray(parity, jnp.int32), jnp.asarray(layer, jnp.int32),
+         zero, jnp.asarray(pos, jnp.int32), zero),
+    )
+    cv = jax.lax.dynamic_update_slice(
+        cv, vc[None, None, :, None, :],
+        (1 - jnp.asarray(parity, jnp.int32), jnp.asarray(layer, jnp.int32),
+         zero, jnp.asarray(pos, jnp.int32), zero),
+    )
+    scale = float(dh) ** -0.5
+    qf = q.astype(jnp.float32).reshape(bk, n_head, dh)
+    k_r = kc.astype(jnp.float32).reshape(bk, n_head, dh)
+    v_r = vc.astype(jnp.float32)
+    s_self = jnp.sum(qf * k_r, axis=-1) * scale  # [BK, H]
+    m_k = m_k.reshape(bk, n_head)
+    l_k = l_k.reshape(bk, n_head)
+    m2 = jnp.maximum(m_k, s_self)
+    alpha = jnp.exp(m_k - m2)  # 0 exactly when no prior rows exist
+    beta = jnp.exp(s_self - m2)
+    denom = l_k * alpha + beta
+
+    def rep(x):  # [BK, H] → [BK, HD] across each head's Dh lanes
+        return jnp.repeat(x, dh, axis=-1)
+
+    attn = (attn_u * rep(alpha) + rep(beta) * v_r) / rep(denom)
+    return attn.astype(q.dtype), ck, cv
+
+
+def reference_gather_attend(
+    cache_k, cache_v, idx, layer, pos, parity, q, k_new, v_new, *, n_head
+):
+    """XLA oracle for the kernel (tests): same plane semantics, built from
+    jnp.take + dynamic_update_slice + layers.qkv_attention."""
+    from whisper_tpu.models import layers
+
+    bk, hd = q.shape
+    ctx = cache_k.shape[3]
+    lk = jnp.take(
+        jax.lax.dynamic_index_in_dim(
+            jax.lax.dynamic_index_in_dim(cache_k, parity, 0, keepdims=False),
+            layer, 0, keepdims=False,
+        ),
+        idx, axis=0,
+    )
+    lv = jnp.take(
+        jax.lax.dynamic_index_in_dim(
+            jax.lax.dynamic_index_in_dim(cache_v, parity, 0, keepdims=False),
+            layer, 0, keepdims=False,
+        ),
+        idx, axis=0,
+    )
+    lk = jax.lax.dynamic_update_slice(
+        lk, k_new.astype(lk.dtype)[:, None, :], (0, pos, 0)
+    )
+    lv = jax.lax.dynamic_update_slice(
+        lv, v_new.astype(lv.dtype)[:, None, :], (0, pos, 0)
+    )
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, lk[None, None], (1 - parity, layer, 0, 0, 0)
+    )
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, lv[None, None], (1 - parity, layer, 0, 0, 0)
+    )
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (1, ctx), 1)
+    mask = jnp.where(kpos > pos, -1e30, 0.0)[:, None, None, :]
+    out = layers.qkv_attention(
+        q.reshape(bk, 1, n_head, hd // n_head),
+        lk.reshape(bk, ctx, n_head, hd // n_head),
+        lv.reshape(bk, ctx, n_head, hd // n_head),
+        mask.astype(q.dtype),
+    )
+    return out.reshape(bk, hd), cache_k, cache_v
+
+
+# ---------------------------------------------------------------------------
+# DMA-only permute+append: the production kernel.
+#
+# Round-4 finding (tools/probe_fused.py, /tmp/probe_mm3.py — recorded in
+# PERF.md): on this jax/Mosaic toolchain an IN-KERNEL matmul runs at
+# ~15 TFLOP/s vs ~300+ for the identical shape in XLA, so every
+# gather+append+ATTEND formulation above bottoms out at 26-38 ms/step —
+# worse than the 23.7 ms eager streams it replaces. What Pallas DOES win at
+# here is data movement: the multi-row gather-DMA pipeline moves the cache
+# at ~590 GB/s vs ~250 for the one-hot-matmul reorder (and ~45 for XLA
+# gather). So the production split is: this kernel applies the pending beam
+# permutation (one read + one write, storage dtype, no compute at all), and
+# the attention matmuls stay in XLA where the MXU actually runs at speed.
+# ---------------------------------------------------------------------------
+
+
+def _dma_kernel(
+    idxs_ref,  # [1, 2, G] int32 VMEM block (row 0: this cell, row 1: next)
+    meta_ref,  # [1, 4] int32 VMEM block: (layer, pos, parity, 0)
+    ck_ref,  # [2, L, BK, ctx, HD] (ANY, aliased to out)
+    cv_ref,
+    ck_out_ref,
+    cv_out_ref,
+    kbuf,  # [2, G, ctx, HD] double-buffered cell pair
+    vbuf,
+    in_sems,  # DMA[(2, 2)]
+    out_sems,  # DMA[(2, 2)]
+    *,
+    group: int,
+):
+    layer = meta_ref[0, 0]
+    par = meta_ref[0, 2]
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def cell_in(which, slot):
+        cps = []
+        for g in range(group):
+            src = idxs_ref[0, which, g]
+            cps.append(
+                pltpu.make_async_copy(
+                    ck_ref.at[par, layer, src], kbuf.at[slot, g],
+                    in_sems.at[slot, 0],
+                )
+            )
+            cps.append(
+                pltpu.make_async_copy(
+                    cv_ref.at[par, layer, src], vbuf.at[slot, g],
+                    in_sems.at[slot, 1],
+                )
+            )
+        return cps
+
+    def cell_out(slot):
+        base = i * group
+        cps = []
+        for g in range(group):
+            cps.append(
+                pltpu.make_async_copy(
+                    kbuf.at[slot, g], ck_out_ref.at[1 - par, layer, base + g],
+                    out_sems.at[slot, 0],
+                )
+            )
+            cps.append(
+                pltpu.make_async_copy(
+                    vbuf.at[slot, g], cv_out_ref.at[1 - par, layer, base + g],
+                    out_sems.at[slot, 1],
+                )
+            )
+        return cps
+
+    is0 = jax.lax.rem(i, 2) == 0
+
+    @pl.when(i == 0)
+    def _():
+        for d in cell_in(0, 0):
+            d.start()
+
+    def run_slot(slot: int):
+        other = 1 - slot
+
+        @pl.when(i + 1 < n)
+        def _():
+            @pl.when(i >= 1)
+            def _():
+                for d in cell_out(other):
+                    d.wait()
+            for d in cell_in(1, other):
+                d.start()
+        for d in cell_in(0, slot):
+            d.wait()
+        for d in cell_out(slot):
+            d.start()
+
+        @pl.when(i == n - 1)
+        def _():
+            @pl.when(i >= 1)
+            def _():
+                for d in cell_out(other):
+                    d.wait()
+            for d in cell_out(slot):
+                d.wait()
+
+    @pl.when(is0)
+    def _():
+        run_slot(0)
+
+    @pl.when(~is0)
+    def _():
+        run_slot(1)
+
+
+def permute_append(
+    cache_k: jnp.ndarray,  # [2, L, BK, ctx, HD] storage dtype
+    cache_v: jnp.ndarray,
+    idx: jnp.ndarray,  # [BK] int32 destination→source rows (dups allowed)
+    layer: jnp.ndarray,  # scalar int32
+    pos: jnp.ndarray,  # scalar int32 — the new rows land at this position
+    parity: jnp.ndarray,  # scalar int32 read plane; writes go to 1-parity
+    k_new: jnp.ndarray,  # [BK, HD] new rows (cast to storage dtype here)
+    v_new: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Apply the pending beam permutation: plane ``1-parity`` becomes the
+    gathered copy of plane ``parity`` (rows selected by ``idx``, moved as
+    raw bytes by the grouped-DMA pipeline) with the step's new K/V rows
+    written at ``pos`` (an XLA dynamic-update-slice — in place on the
+    aliased buffer). Positions > pos in the write plane carry stale bytes;
+    callers mask them (they are rewritten before any later read).
+
+    Returns (cache_k, cache_v) aliasing the inputs."""
+    planes, n_layer, bk, ctx, hd = cache_k.shape
+    assert planes == 2, "cache must carry a ping-pong plane pair"
+    group = _pick_group(bk, ctx, hd, cache_k.dtype.itemsize)
+    ncells = bk // group
+    idx2 = idx.astype(jnp.int32).reshape(ncells, group)
+    idxs = jnp.stack(
+        [idx2, jnp.concatenate([idx2[1:], idx2[-1:]], axis=0)], axis=1
+    )
+    meta = jnp.stack(
+        [
+            jnp.asarray(layer, jnp.int32),
+            jnp.asarray(pos, jnp.int32),
+            jnp.asarray(parity, jnp.int32),
+            jnp.int32(0),
+        ]
+    ).reshape(1, 4)
+    kernel = functools.partial(_dma_kernel, group=group)
+    row_bytes = ctx * hd * cache_k.dtype.itemsize
+    ck, cv = pl.pallas_call(
+        kernel,
+        grid=(ncells,),
+        in_specs=[
+            pl.BlockSpec((1, 2, group), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 4), lambda i: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct(cache_k.shape, cache_k.dtype),
+            jax.ShapeDtypeStruct(cache_v.shape, cache_v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, group, ctx, hd), cache_k.dtype),
+            pltpu.VMEM((2, group, ctx, hd), cache_v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        input_output_aliases={2: 0, 3: 1},
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=4 * bk * row_bytes,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(idxs, meta, cache_k, cache_v)
+    zero = jnp.int32(0)
+    starts = (
+        1 - jnp.asarray(parity, jnp.int32),
+        jnp.asarray(layer, jnp.int32),
+        zero,
+        jnp.asarray(pos, jnp.int32),
+        zero,
+    )
+    ck = jax.lax.dynamic_update_slice(
+        ck, k_new.astype(ck.dtype)[None, None, :, None, :], starts
+    )
+    cv = jax.lax.dynamic_update_slice(
+        cv, v_new.astype(cv.dtype)[None, None, :, None, :], starts
+    )
+    return ck, cv

@@ -59,7 +59,8 @@ def _layer_group(l: int, row_bytes: int) -> int:
     """Layers moved per grid cell: amortize the per-cell pipeline overhead
     (the (1,1,·,·) single-row grid measured ~250 GB/s on v5e — far under
     copy bandwidth — because 2,560 tiny cells pay fixed DMA/loop latency;
-    grouping layers into ~4 MB blocks cuts the cell count by that factor)."""
+    grouping layers into ~1 MB blocks (per _VMEM_BUDGET) cuts the cell
+    count by that factor without starving VMEM double-buffering."""
     g = max(1, _VMEM_BUDGET // max(row_bytes, 1))
     while l % g:
         g -= 1

@@ -168,6 +168,11 @@ def utilization(
     kv_dtype: Optional[str],
     device_kind: str,
     ctx_bucket: Optional[int] = None,
+    audio_ctx: Optional[int] = None,  # EngineConfig.audio_ctx crop: cross-KV
+    # streams (and encoder-output-dependent FLOPs) scale with the cropped
+    # width. NOTE: the encoder itself still runs full-width (the crop is
+    # post-encoder), so encoder FLOPs are slightly understated under a crop
+    # — acceptable: MFU is decode-dominated in every recorded config.
 ) -> dict:
     """MFU + decode-phase HBM utilization for one timed batch.
 
@@ -178,13 +183,20 @@ def utilization(
     the full wall clock, so it is a *lower bound* on the decode phase's
     actual bandwidth draw (the encoder phase shares the denominator)."""
     rows = batch * beam
+    # Post-encoder crop: the encoder runs full-width; cross-KV precompute
+    # and every decode-phase cross stream scale with the cropped width.
+    import dataclasses as _dc
+
+    ddims = dims
+    if audio_ctx is not None and audio_ctx < dims.n_audio_ctx:
+        ddims = _dc.replace(dims, n_audio_ctx=audio_ctx)
     flops = (
         encoder_flops(dims, batch)
-        + cross_kv_flops(dims, batch)
-        + decoder_flops(dims, rows, p_len, new_tokens)
+        + cross_kv_flops(ddims, batch)
+        + decoder_flops(ddims, rows, p_len, new_tokens)
     )
     step_bytes = decode_step_bytes(
-        dims, batch, beam, total_len, quant, kv_dtype,
+        ddims, batch, beam, total_len, quant, kv_dtype,
         ctx_bucket=ctx_bucket, p_len=p_len,
     )
     decode_bytes = new_tokens * step_bytes
