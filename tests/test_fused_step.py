@@ -197,3 +197,43 @@ class TestFusedDecoderStep:
             parity = 1 - parity
             pending = perm
             tok = jnp.array(rng.integers(0, 100, bk), jnp.int32)
+
+
+class TestPermuteAppend:
+    """The production DMA kernel (ops/fused_step.py permute_append): write
+    plane = gathered read plane + new rows at pos, byte-exact."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float8_e4m3fn])
+    @pytest.mark.parametrize("parity", [0, 1])
+    def test_byte_exact(self, dtype, parity):
+        from whisper_tpu.ops.fused_step import permute_append
+
+        bk, ctx, hd, L = 8, 32, 64, 3
+        key = jax.random.PRNGKey(0)
+        ks = jax.random.split(key, 4)
+        ck = jax.random.normal(ks[0], (2, L, bk, ctx, hd), jnp.float32).astype(dtype)
+        cv = jax.random.normal(ks[1], (2, L, bk, ctx, hd), jnp.float32).astype(dtype)
+        kn = jax.random.normal(ks[2], (bk, hd), jnp.float32)
+        vn = jax.random.normal(ks[3], (bk, hd), jnp.float32)
+        idx = jnp.array([3, 3, 0, 5, 7, 1, 1, 4], jnp.int32)
+        layer, pos = jnp.int32(1), jnp.int32(9)
+        ok, ov = permute_append(
+            ck, cv, idx, layer, pos, jnp.int32(parity), kn, vn,
+            interpret=True,
+        )
+        exp_k = np.asarray(ck[parity, 1])[np.asarray(idx)]
+        exp_k[:, 9, :] = np.asarray(kn.astype(dtype))
+        got = np.asarray(ok[1 - parity, 1])
+        np.testing.assert_array_equal(
+            got.view(np.uint8), exp_k.view(np.uint8)
+        )
+        # read plane and other layers untouched
+        np.testing.assert_array_equal(
+            np.asarray(ok[parity]).view(np.uint8),
+            np.asarray(ck[parity]).view(np.uint8),
+        )
+        exp_v = np.asarray(cv[parity, 1])[np.asarray(idx)]
+        exp_v[:, 9, :] = np.asarray(vn.astype(dtype))
+        np.testing.assert_array_equal(
+            np.asarray(ov[1 - parity, 1]).view(np.uint8), exp_v.view(np.uint8)
+        )

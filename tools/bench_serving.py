@@ -49,6 +49,10 @@ def main() -> int:
         help="run disaggregated prefill on this jax device (default: same)",
     )
     ap.add_argument("--skip-async", action="store_true")
+    ap.add_argument("--skip-disagg", action="store_true")
+    ap.add_argument("--sync-every", type=int, default=None,
+                    help="decode steps per slot-pool dispatch (default: "
+                    "serving.py's)")
     args = ap.parse_args()
 
     import jax
@@ -103,14 +107,18 @@ def main() -> int:
     )
     if not args.skip_async:
         run("async", lambda: AsyncTranscriber(engine, max_batch=args.slots))
+    kw = {}
+    if args.sync_every is not None:
+        kw["sync_every"] = args.sync_every
     base = run("continuous", lambda: ContinuousTranscriber(
-        engine, n_slots=args.slots, prefill_batch=args.prefill_batch))
-    disagg = run("disaggregated", lambda: DisaggregatedTranscriber(
-        engine, n_slots=args.slots, prefill_batch=args.prefill_batch,
-        encode_device=enc_dev))
-    print(json.dumps({
-        "speedup_disagg_vs_continuous": round(base / disagg, 3)
-    }))
+        engine, n_slots=args.slots, prefill_batch=args.prefill_batch, **kw))
+    if not args.skip_disagg:
+        disagg = run("disaggregated", lambda: DisaggregatedTranscriber(
+            engine, n_slots=args.slots, prefill_batch=args.prefill_batch,
+            encode_device=enc_dev, **kw))
+        print(json.dumps({
+            "speedup_disagg_vs_continuous": round(base / disagg, 3)
+        }))
     return 0
 
 

@@ -154,11 +154,14 @@ class _ContinuousBase:
         engine: Engine,
         n_slots: int = 8,
         prefill_batch: int = 2,
-        sync_every: int = 16,  # decode steps per host dispatch (the slot
-        # pool's macro-step). Raised from 4 in round 4: per-dispatch host
-        # RTT dominates slot stepping on a tunneled backend, and the
-        # while_loop's on-device active-mask exit makes deep macro-steps
-        # safe for an emptying pool.
+        sync_every: int = 4,  # decode steps per host dispatch (the slot
+        # pool's macro-step). Round-4 A/B on the tunneled backend
+        # (benchmarks/serving_tiny_r04.json): 4 → 30.8 audio-s/s,
+        # 16 → 28.3, 32 → 27.1 — deeper macro-steps overshoot finished
+        # slots more than they save in dispatch RTT on short decodes, so 4
+        # stays the default; the while_loop's on-device active-mask exit
+        # makes ANY depth safe for an emptying pool (raise it for long
+        # decode budgets on high-RTT links).
         omit_special_tokens: bool = True,
         encode_device=None,
         slot_buckets: Optional[List[int]] = None,
