@@ -47,7 +47,7 @@ KV_DTYPE = _opt("BENCH_KV", "float8_e4m3fn")
 _ac = _opt("BENCH_AUDIO_CTX", "")
 AUDIO_CTX = int(_ac) if _ac else None
 FUSED = os.environ.get("BENCH_FUSED", "auto")
-if FUSED not in ("auto",):
+if FUSED not in ("auto", "lineage", "hybrid", "off"):
     FUSED = FUSED in ("1", "true", "True")
 _cb = os.environ.get("BENCH_CTX_BUCKET", "auto")
 if _cb in ("none", "None", "0"):

@@ -136,21 +136,59 @@ class FusedBeamState(NamedTuple):
     fin: FinishedSet
 
 
-def resolve_fused(fused, dims: ModelDims) -> bool:
-    """"auto" → the hybrid step on TPU when the merged head dim is
-    lane-aligned (every real Whisper model; the tiny `dev` test model is
-    not): the pending beam permutation runs as the Pallas grouped-DMA
-    kernel and attention as blockdiag XLA matmuls — measured ~10.6 ms/step
-    for the combined streams vs ~20.5 eager at large-v3 beam=5 batch=16
-    (tools/probe_fused.py r4). Explicit bools force; CPU forces run the
-    kernel in Pallas interpret mode (slow — tests only)."""
+class LineageBeamState(NamedTuple):
+    """Beam state for the lineage decode step (decoder_step_lineage): the
+    cache is single-plane and slot-stationary; beam reshuffles move only the
+    [B*K, ctx] lineage table."""
+
+    pos: jnp.ndarray  # scalar int32 — next position to write
+    tokens: jnp.ndarray  # [B*K, L]
+    scores: jnp.ndarray  # [B*K]
+    cache: KVCache  # [L, B*K, ctx, H, Dh]
+    lineage: jnp.ndarray  # [B*K, ctx] int32 (decoder.init_lineage)
+    fin: FinishedSet
+
+
+def resolve_fused(fused, dims: ModelDims) -> str:
+    """Resolve the beam decode-step mode → "off" | "hybrid" | "lineage".
+
+    * "hybrid" (the "auto" choice on TPU when the merged head dim is
+      lane-aligned): the pending-permutation step — Pallas grouped-DMA
+      permute kernel + merged-layout XLA attention (~10 ms/step combined
+      vs ~20.5 eager at large-v3 beam=5 b16, tools/probe_fused.py).
+    * "lineage": the beam permutation virtualized into a mask over
+      slot-stationary cache rows (models/decoder.py decoder_step_lineage)
+      — zero cache movement, one window stream per step, pure XLA, exact.
+      NOT the TPU default despite moving 3x fewer window bytes: its
+      attention must run as per-(batch,head) BATCHED matmuls (each query
+      row needs all K slots, so the giant-matmul kq fold would re-read the
+      cache K times), and XLA streams batched matmul operands at ~84 GB/s
+      fp8 vs ~190 for the merged per-row form — measured 3x slower
+      end-to-end (43 vs 128 audio-s/s, benchmarks/probe r4, /tmp/
+      probe_lin.py table in PERF.md). Wins wherever Pallas is unavailable.
+    * "off": the eager XLA step + one-hot cache reorder.
+
+    Booleans are accepted for backward compatibility: True → "hybrid"
+    (Pallas interpret mode off-TPU — slow, tests only), False → "off".
+    "auto" stays eager on CPU so differential tests compare distinct
+    formulations."""
     from whisper_tpu.ops.fused_step import supported
 
     interpret = jax.default_backend() != "tpu"
     hd = dims.n_text_state
     if fused == "auto":
-        return (not interpret) and supported(hd, interpret)
-    return bool(fused) and supported(hd, interpret)
+        if not interpret and supported(hd, interpret):
+            return "hybrid"
+        return "off"
+    if fused == "lineage":
+        return "lineage"
+    if fused == "off":
+        return "off"
+    if fused == "hybrid":
+        fused = True
+    if bool(fused) and supported(hd, interpret):
+        return "hybrid"
+    return "off"
 
 
 def reorder_cache(
@@ -369,7 +407,8 @@ def beam_decode(
         ctx_bucket_limits(total_len, ctx_bucket) if ctx_bucket else [total_len]
     )
     limits = [l for l in limits if l > p_len] or [total_len]
-    use_fused = resolve_fused(fused, dims)
+    mode = resolve_fused(fused, dims)
+    use_fused = mode == "hybrid"
     interpret = jax.default_backend() != "tpu"
     if use_fused:
         # Physical segment sizes stay sublane-tile aligned for the kernel's
@@ -498,6 +537,27 @@ def beam_decode(
             cache = reorder_cache(cache, act_rows, bk)
         return BeamState(s.pos + 1, tokens, scores, cache, fin)
 
+    def body_lineage(s: "LineageBeamState") -> "LineageBeamState":
+        from whisper_tpu.models.decoder import decoder_step_lineage
+
+        prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, 1, keepdims=False)
+        logits, cache, lineage = decoder_step_lineage(
+            params, prev, s.pos - 1, s.cache, s.lineage, cross_kv, dims,
+            compute_dtype, beam_width=k,
+        )
+        lp = logprobs_of(logits, s.tokens, s.pos)
+        tokens, scores, fin, act_rows = advance(
+            s.tokens, s.scores, s.fin, lp, s.pos
+        )
+        # The beam reshuffle touches ONLY the lineage table (an [B*K, ctx]
+        # int32 row gather — ~80 KB at large-v3 beam=5 b16); the cache
+        # stays slot-stationary forever.
+        if "reorder" not in _ABLATE:  # ablation: perf attribution only
+            lineage = jnp.take(lineage, act_rows, axis=0)
+        return LineageBeamState(
+            s.pos + 1, tokens, scores, cache, lineage, fin
+        )
+
     def body_fused(s: FusedBeamState) -> FusedBeamState:
         from whisper_tpu.models.decoder import decoder_step_fused
 
@@ -517,7 +577,26 @@ def beam_decode(
         )
 
     # One while_loop per cache segment (greedy.py: segment-growth decode).
-    if use_fused:
+    if mode == "lineage":
+        from whisper_tpu.models.decoder import grow_lineage, init_lineage
+
+        state = LineageBeamState(
+            jnp.int32(p_len + 1), tokens, scores, cache,
+            init_lineage(b, k, phys[0], p_len), fin,
+        )
+        for i, end in enumerate(limits):
+            seg_end = jnp.int32(min(end, total_len))
+
+            def cond_l(s: LineageBeamState, _end=seg_end):
+                return (s.pos < _end) & ~jnp.all(s.fin.valid)
+
+            state = jax.lax.while_loop(cond_l, body_lineage, state)
+            if i + 1 < len(limits):
+                state = state._replace(
+                    cache=grow_cache(state.cache, phys[i + 1]),
+                    lineage=grow_lineage(state.lineage, phys[i + 1]),
+                )
+    elif use_fused:
         from whisper_tpu.models.decoder import grow_plane_cache
 
         # Rows within a sample are identical after the prefill fan-out, so

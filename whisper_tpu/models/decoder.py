@@ -262,10 +262,15 @@ def decoder_step_fused(
     attention matmuls in XLA — the division of labor round-4's measurements
     force: Pallas moves the cache at ~590 GB/s (vs ~250 for the one-hot
     reorder) but Mosaic's in-kernel matmuls run ~20x below XLA's, so the
-    compute stays out of the kernel. Numerically matches
-    :func:`decoder_step` composed with a cache reorder by ``pending_idx``.
-    Returns (logits [BK, V] f32, cache with plane ``1-parity`` current).
-    The caller flips parity each step."""
+    compute stays out of the kernel. The permute runs PER LAYER inside the
+    scan: hoisting all L layers into one whole-cache kernel call before
+    the scan (ops/fused_step.py permute_all) measured 5.82 s vs 3.97 on
+    the north star — a Pallas output feeding a scan's INITIAL carry defeats
+    XLA's carry aliasing and re-copies the cache every step, where the
+    per-layer call threads carry→pallas→carry in place (bench r4, PERF.md).
+    Numerically matches :func:`decoder_step` composed with a cache reorder
+    by ``pending_idx``. Returns (logits [BK, V] f32, cache with plane
+    ``1-parity`` current). The caller flips parity each step."""
     from whisper_tpu.ops.fused_step import permute_append
 
     dec = params["decoder"]
@@ -278,8 +283,8 @@ def decoder_step_fused(
     ctx = cache["k"].shape[3]
     hd = dims.n_text_state
     dh = hd // n_head
-    # Causal mask [1, ctx, 1] for the merged-layout scores [BK, ctx, H].
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, ctx, 1), 1)
+    # Causal mask [1, 1, ctx] for the head-major scores [BK, H, ctx].
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ctx), 2)
     mask = jnp.where(k_pos <= pos, 0.0, NEG_INF)  # f32
     # Block-diagonal head fold: scores/weights stay in the cache's MERGED
     # [.., ctx, H*Dh] layout end-to-end, so the plane slice fuses into an
@@ -292,6 +297,9 @@ def decoder_step_fused(
     bd = (
         jnp.arange(hd)[:, None] // dh == jnp.arange(n_head)[None]
     ).astype(compute_dtype)  # [HD, H]
+    et = (
+        jnp.arange(n_head)[:, None] == jnp.arange(hd)[None] // dh
+    ).astype(jnp.float32)  # [H, HD] — diagonal-block extraction fold
     scale = float(dh) ** -0.5
     plane = 1 - jnp.asarray(parity, jnp.int32)
 
@@ -317,21 +325,28 @@ def decoder_step_fused(
             layer, 0, keepdims=False,
         )
         kq = k2d.astype(compute_dtype) * q[:, None, :]
+        # Scores head-major ([BK, H, ctx]): the dot's output transpose
+        # folds into the matmul and the softmax'd weights feed the value
+        # contraction directly — no w_exp blockdiag expansion. The r4-v1
+        # w_exp path materialized a [BK, ctx, HD] expansion per layer
+        # (~104 MB write+read at large-v3 b16 beam5 ⇒ ~3.3 GB/step of
+        # avoidable traffic); this batched-dot value path measured 8.87 vs
+        # 9.49 ms/step for the attention read at ctx 256 (/tmp/probe_lin
+        # r4 variants G→H, PERF.md table).
         scores = (
             jnp.einsum(
-                "bcj,jh->bch", kq, bd, preferred_element_type=jnp.float32
+                "bcj,jh->bhc", kq, bd, preferred_element_type=jnp.float32
             )
             * scale
             + mask
         )
-        w = jax.nn.softmax(scores, axis=1)  # f32, over ctx
-        w_exp = jnp.einsum(
-            "bch,hj->bcj", w.astype(compute_dtype), bd.T,
+        w = jax.nn.softmax(scores, axis=-1)  # f32, over ctx
+        vout = jax.lax.dot_general(
+            w.astype(compute_dtype), v2d.astype(compute_dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).astype(compute_dtype)  # exact: one nonzero product per element
-        attn = jnp.sum(
-            (w_exp * v2d.astype(compute_dtype)).astype(jnp.float32), axis=1
-        ).astype(compute_dtype)  # [BK, HD]
+        )  # [BK, H, HD]; head h's true output lives in lanes h*dh..(h+1)*dh
+        attn = jnp.sum(vout * et[None], axis=1).astype(compute_dtype)
         h = h + layers.linear(bp["attn"]["o"], attn[:, None, :])
 
         hn = layers.layer_norm(bp["ln2"], h)
@@ -361,6 +376,167 @@ def decoder_step_fused(
     x = layers.layer_norm(dec["ln"], x)
     logits = layers.unembed(dec["tok_emb"], x)
     return logits[:, 0, :], {"k": new_k, "v": new_v}
+
+
+def init_lineage(b: int, beam: int, ctx: int, p_len: int) -> jnp.ndarray:
+    """[B*K, ctx] int32 slot-ancestry table for the lineage decode step
+    (:func:`decoder_step_lineage`).
+
+    Entry [r, t] = index (0..K-1) of the cache slot *within r's utterance*
+    whose row holds position t's K/V on r's ancestry path; -1 marks an
+    unwritten position (it matches no slot, so the lineage mask removes it).
+    Prefill positions point at the row's own slot — the prefill fan-out
+    wrote identical copies into every slot."""
+    own = (jnp.arange(b * beam, dtype=jnp.int32) % beam)[:, None]
+    written = jnp.arange(ctx, dtype=jnp.int32)[None, :] < p_len
+    return jnp.where(written, own, jnp.int32(-1))
+
+
+def grow_lineage(lineage: jnp.ndarray, new_len: int) -> jnp.ndarray:
+    """Segment-growth pad for the lineage table: new positions are -1
+    (unwritten)."""
+    cur = lineage.shape[1]
+    if new_len <= cur:
+        return lineage
+    return jnp.pad(
+        lineage, [(0, 0), (0, new_len - cur)], constant_values=-1
+    )
+
+
+def decoder_step_lineage(
+    params: Params,
+    token: jnp.ndarray,  # [B*K] int32 — token at absolute position `pos`
+    pos: jnp.ndarray,  # scalar int32
+    cache: KVCache,  # {"k"/"v": [L, B*K, ctx, H, Dh]} — slot-stationary
+    lineage: jnp.ndarray,  # [B*K, ctx] int32 (see init_lineage)
+    cross_kv: KVCache,
+    dims: ModelDims,
+    compute_dtype=jnp.float32,
+    beam_width: int = 1,
+) -> Tuple[jnp.ndarray, KVCache, jnp.ndarray]:
+    """One beam decode step with the beam permutation VIRTUALIZED into a
+    mask — the cache never moves at all.
+
+    The hybrid fused step (decoder_step_fused) still pays two physical
+    window streams per step for the pending beam permutation (the DMA
+    kernel's gather read + write-back) on top of the attention read. But a
+    beam reorder is pure bookkeeping: which *slot* holds each position's
+    K/V on a hypothesis' ancestry path. So keep every row slot-stationary —
+    logical beam r always writes position pos into its own slot — and track
+    ancestry in a tiny [B*K, ctx] int32 ``lineage`` table. The beam
+    reshuffle becomes an 80 KB gather of lineage rows instead of a
+    multi-GB cache permute.
+
+    Attention then runs DENSE over all K slots' rows — queries [B, K, H,
+    Dh] against keys [B, K*ctx, H, Dh] (a free reshape of the cache) —
+    with an additive bias that is 0 where ``lineage[r, t] == s`` and -1e30
+    elsewhere. Exactly the bytes of a single per-beam cache read (each
+    physical row streams once, shared by the utterance's K queries inside
+    one matmul), and the masked entries contribute exp(-1e30-m) == 0.0 in
+    f32 — the surviving scores are the permuted path's scores. Per step
+    the self-attention window moves 1x instead of the hybrid step's 3x,
+    there is no ping-pong plane pair (half the cache memory), and the whole
+    step is plain XLA — no Pallas, so it runs identically on CPU.
+
+    The K-fold FLOP increase of dense-over-slots scores is noise: decode
+    attention is HBM-bound (scores are [K, Dh] x [Dh, K*ctx] per (b, h) —
+    ~17 GFLOP/step at large-v3 beam=5 batch=16 vs a ~200 TFLOP/s MXU).
+
+    Reference match: replaces the decode hot loop the reference re-runs
+    O(n^2) through its interpreter (whisper.cpp:363-399); the lineage table
+    plays the role TFLite's tensor indices can't — beam search itself is
+    net-new vs the reference (SURVEY.md §2b beam parallelism).
+
+    Returns (logits [B*K, V] f32, cache, lineage) — cache updated in place
+    (new rows only), lineage with position ``pos`` set to each row's own
+    slot. The caller applies the step's beam reshuffle to ``lineage`` (a
+    row gather), never to ``cache``.
+    """
+    dec = params["decoder"]
+    n_head = dims.n_text_head
+    bk = token.shape[0]
+    kw = beam_width
+    b = bk // kw
+    pos = jnp.asarray(pos, jnp.int32)
+    ctx = cache["k"].shape[2]
+    dh = dims.n_text_state // n_head
+
+    pos_emb = jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0)
+    x = layers.embed(dec["tok_emb"], token[:, None]) + pos_emb
+    x = x.astype(compute_dtype)
+
+    # This step's K/V rows land in each logical row's own slot.
+    own = jnp.arange(bk, dtype=jnp.int32) % kw
+    lineage = jax.lax.dynamic_update_slice(lineage, own[:, None], (0, pos))
+
+    # Lineage bias over the flattened (slot, position) key axis, computed
+    # ONCE per step and shared by every layer: [B, 1, K, K*ctx], 0 where
+    # row r's ancestry holds position t in slot s (incl. this step's own
+    # row, just written), NEG_INF elsewhere (incl. unwritten rows: lineage
+    # -1 matches no slot, which also subsumes the causal mask).
+    slot = jnp.arange(kw, dtype=jnp.int32)
+    lin3 = lineage.reshape(b, kw, ctx)
+    bias = jnp.where(
+        lin3[:, :, None, :] == slot[None, None, :, None], 0.0, NEG_INF
+    ).astype(jnp.float32)  # [B, K, K_slot, ctx]
+    bias = bias.reshape(b, kw, kw * ctx)[:, None]  # [B, 1, K, K*ctx]
+
+    def block(carry, xs):
+        h, cache_k, cache_v = carry
+        layer, bp, xk_l, xv_l = xs
+
+        # --- self-attention: slot-stationary write, dense masked read ---
+        hn = layers.layer_norm(bp["ln1"], h)
+        q = layers.split_heads(layers.linear(bp["attn"]["q"], hn), n_head)
+        k_new = layers.split_heads(layers.linear(bp["attn"]["k"], hn), n_head)
+        v_new = layers.split_heads(layers.linear(bp["attn"]["v"], hn), n_head)
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_new.astype(cache_k.dtype)[None], (layer, 0, pos, 0, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_new.astype(cache_v.dtype)[None], (layer, 0, pos, 0, 0)
+        )
+        kf = jax.lax.dynamic_index_in_dim(
+            cache_k, layer, 0, keepdims=False
+        )  # [BK, ctx, H, Dh]
+        vf = jax.lax.dynamic_index_in_dim(cache_v, layer, 0, keepdims=False)
+        # [BK, ctx, ...] → [B, K*ctx, ...]: slots fold into the key axis —
+        # a bitcast-free reshape (slot-major, position-minor, matching the
+        # bias flatten above).
+        k4 = kf.reshape(b, kw * ctx, n_head, dh)
+        v4 = vf.reshape(b, kw * ctx, n_head, dh)
+        q4 = q.reshape(b, kw, n_head, dh)
+        attn = layers.qkv_attention(q4, k4, v4, bias)  # [B, K, H, Dh]
+        attn = attn.reshape(bk, 1, n_head, dh)
+        h = h + layers.linear(bp["attn"]["o"], layers.merge_heads(attn))
+
+        # --- cross-attention: beams share one per-utterance cross-KV ---
+        hn = layers.layer_norm(bp["ln2"], h)
+        qx = layers.split_heads(layers.linear(bp["cross"]["q"], hn), n_head)
+        if kw > 1:
+            qx = qx.reshape(b, kw, n_head, dh)
+            cross_out = layers.cross_attention_T(qx, xk_l, xv_l)
+            cross_out = cross_out.reshape(bk, 1, n_head, dh)
+        else:
+            cross_out = layers.cross_attention_T(qx, xk_l, xv_l)
+        h = h + layers.linear(bp["cross"]["o"], layers.merge_heads(cross_out))
+
+        h = h + layers.mlp(bp["mlp"], layers.layer_norm(bp["ln3"], h))
+        return (h, cache_k, cache_v), None
+
+    n_layer = dims.n_text_layer
+    xs = (
+        jnp.arange(n_layer, dtype=jnp.int32),
+        dec["blocks"],
+        cross_kv["k"],
+        cross_kv["v"],
+    )
+    (x, new_k, new_v), _ = jax.lax.scan(
+        block, (x, cache["k"], cache["v"]), xs
+    )
+    x = layers.layer_norm(dec["ln"], x)
+    logits = layers.unembed(dec["tok_emb"], x)
+    return logits[:, 0, :], {"k": new_k, "v": new_v}, lineage
 
 
 def decoder_prefill(
