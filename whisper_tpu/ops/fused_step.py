@@ -692,6 +692,12 @@ def permute_append(
             bytes_accessed=4 * bk * row_bytes,
             transcendentals=0,
         ),
+        # The default 16 MB scoped-vmem limit caps the ring at G=8; the
+        # raised budget admits G=16 rings (WHISPER_TPU_FUSED_GROUP=16) for
+        # group-size tuning, matching fused_gather_attend's setting.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(idxs, meta, cache_k, cache_v)
     zero = jnp.int32(0)

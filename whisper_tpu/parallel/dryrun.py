@@ -237,6 +237,20 @@ def dryrun_multichip(n_devices: int) -> None:
         kv_cache_dtype="float8_e4m3fn", ctx_bucket=4,
     )
 
+    # Lineage decode mode (models/decoder.py decoder_step_lineage — the
+    # Pallas-free fused-class step) under mesh sharding: token-for-token
+    # across layouts AND equal to the eager path's tokens.
+    ref_eager = _mesh_parity(
+        n_devices, "dev", samples, beam_size=3, max_new_tokens=6,
+    )
+    ref_lineage = _mesh_parity(
+        n_devices, "dev", samples, beam_size=3, max_new_tokens=6,
+        fused_step="lineage",
+    )
+    assert ref_lineage == ref_eager, (
+        "lineage decode mode diverged from the eager path's tokens on a mesh"
+    )
+
     # Multi-process transcribe_files (subprocess pair, own device worlds) —
     # only meaningful where virtual CPU worlds can be spawned.
     _multiprocess_leg(n_devices)
