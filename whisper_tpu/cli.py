@@ -119,6 +119,8 @@ def _engine_from_args(args):
         initial_prompt_tokens=initial_prompt,
         initial_prompt=getattr(args, "initial_prompt", None),
         no_speech_threshold=getattr(args, "no_speech_threshold", None),
+        fused_step=getattr(args, "fused_step", "auto"),
+        audio_ctx=getattr(args, "audio_ctx", None),
     )
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
@@ -288,6 +290,22 @@ def _add_engine_args(p) -> None:
         default=None,
         help="weight-only quantization (reference models ship dynamic-range "
         "quantized — export/generate.py:69)",
+    )
+    p.add_argument(
+        "--fused-step",
+        choices=["auto", "hybrid", "lineage", "off"],
+        default="auto",
+        help="beam decode-step mode (EngineConfig.fused_step): auto picks "
+        "the Pallas hybrid step on TPU; lineage is the Pallas-free exact "
+        "alternative; off forces the eager XLA step",
+    )
+    p.add_argument(
+        "--audio-ctx",
+        type=int,
+        default=None,
+        help="crop encoder positions to this many frames (openai's "
+        "audio_ctx trick: ~50 per second of audio + a few; halves the "
+        "cross-KV stream for short utterances — PERF.md)",
     )
     p.add_argument(
         "--reference-quirks",

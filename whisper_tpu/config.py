@@ -165,12 +165,14 @@ class EngineConfig:
     # off for short budgets where the grow copies dominate; an int forces
     # a granularity, None/0 forces a single full-size buffer.
     ctx_bucket: object = "auto"
-    # Fused gather+append+attend beam decode step (ops/fused_step.py): the
-    # beam reshuffle becomes a pending permutation applied inside a Pallas
-    # attention kernel — one cache read + one write per step instead of the
-    # XLA reorder+attend streams. "auto" (default) uses it on TPU for every
-    # real model (lane-aligned head dims) and falls back to the XLA path on
-    # CPU; True/False force (True on CPU runs the kernel interpreted).
+    # Beam decode-step mode (decode/beam.py resolve_fused):
+    # "auto" (default) → "hybrid" on TPU (Pallas grouped-DMA kernel applies
+    # the pending beam permutation, attention as merged-layout XLA matmuls),
+    # eager on CPU. "lineage" → the permutation virtualized into an
+    # ancestry mask over slot-stationary cache rows (pure XLA, exact, runs
+    # on any backend; 3x slower than hybrid on this TPU toolchain — PERF.md
+    # probe table). "off"/False → eager step + one-hot cache reorder;
+    # True → force hybrid (interpreted off-TPU — tests only).
     fused_step: object = "auto"
     # Host→device audio width: "int16" (default) ships batches at the WAV's
     # native 16-bit width and converts on device (exact inverse of wav.py's
