@@ -171,7 +171,15 @@ def resolve_fused(fused, dims: ModelDims) -> str:
     Booleans are accepted for backward compatibility: True → "hybrid"
     (Pallas interpret mode off-TPU — slow, tests only), False → "off".
     "auto" stays eager on CPU so differential tests compare distinct
-    formulations."""
+    formulations.
+
+    Explicit requests are honored or loudly refused (ADVICE r4): "auto"
+    may degrade silently, but fused="hybrid" RAISES when the Pallas path
+    can't run (non-lane-aligned merged head dim on TPU) and WARNS when it
+    would run in interpret mode (CPU — orders of magnitude slower than the
+    eager step; tests pass fused=True to opt in quietly)."""
+    import warnings
+
     from whisper_tpu.ops.fused_step import supported
 
     interpret = jax.default_backend() != "tpu"
@@ -185,7 +193,20 @@ def resolve_fused(fused, dims: ModelDims) -> str:
     if fused == "off":
         return "off"
     if fused == "hybrid":
-        fused = True
+        if not supported(hd, interpret):
+            raise ValueError(
+                f"fused_step='hybrid' requested but the Pallas kernel does "
+                f"not support merged head dim {hd} on this backend; use "
+                f"'auto' (falls back silently) or 'lineage'/'off'"
+            )
+        if interpret:
+            warnings.warn(
+                "fused_step='hybrid' on a non-TPU backend runs the Pallas "
+                "kernel in interpret mode (orders of magnitude slower than "
+                "the eager step); use 'auto' to fall back automatically",
+                stacklevel=3,
+            )
+        return "hybrid"
     if bool(fused) and supported(hd, interpret):
         return "hybrid"
     return "off"
@@ -367,10 +388,12 @@ def beam_decode(
     # while_loops over growing cache buffers — aliasing-safe; see
     # greedy.ctx_bucket_limits). "auto" = CTX_BUCKET when ≥3 segments
     # cover the budget, else a single full-size segment; int/None/0 force.
-    fused="auto",  # fused gather+append+attend decode step (see
-    # resolve_fused / ops/fused_step.py): the beam reshuffle becomes a
-    # pending permutation applied inside the Pallas attention kernel —
-    # one cache read + one write per step instead of reorder+attend.
+    fused="auto",  # decode-step mode, resolved by resolve_fused into one
+    # of: "hybrid" (Pallas DMA pending-permutation + merged-layout XLA
+    # attention — the TPU default under "auto"), "lineage" (slot-stationary
+    # cache + ancestry-mask attention, pure XLA, runs anywhere), or "off"
+    # (eager step + one-hot cache reorder — the "auto" choice off-TPU).
+    # Strings pass through; booleans are legacy (True→hybrid, False→off).
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P+max_new], lengths [B], scores [B]) for the best
     finished hypothesis per batch item (length-normalized score) — plus

@@ -247,6 +247,12 @@ def dryrun_multichip(n_devices: int) -> None:
         n_devices, "dev", samples, beam_size=3, max_new_tokens=6,
         fused_step="lineage",
     )
+    # NOTE (ADVICE r4): lineage and eager logits differ by float reduction
+    # order, so exact token equality rests on no candidate pair being
+    # within ~1 ulp of a tie. On this fixed seed/geometry the margins are
+    # comfortably wide (the differential tests in test_lineage_step.py
+    # check score gaps); if this ever fails spuriously, compare scores
+    # with a tolerance and tokens only where no near-tie is detected.
     assert ref_lineage == ref_eager, (
         "lineage decode mode diverged from the eager path's tokens on a mesh"
     )
