@@ -317,7 +317,10 @@ class Engine:
         if self.config.beam_size > 1:
             out = beam_decode(
                 params, enc_out, prompts, beam_size=self.config.beam_size,
-                cross_kv=cross_kv, fused=self.config.fused_step, **common
+                cross_kv=cross_kv, fused=self.config.fused_step,
+                mesh=self.mesh,
+                mesh_axis_names=tuple(self.config.mesh_axis_names),
+                **common
             )
             return out[0], out[1], out[2], out[3] if ns else None
         out = greedy_decode(
@@ -816,7 +819,9 @@ class Engine:
             if beam > 1:
                 out = beam_decode(
                     params, enc_out, prompts, beam_size=beam,
-                    fused=self.config.fused_step, **common
+                    fused=self.config.fused_step, mesh=self.mesh,
+                    mesh_axis_names=tuple(self.config.mesh_axis_names),
+                    **common
                 )
             else:
                 out = greedy_decode(params, enc_out, prompts, **common)

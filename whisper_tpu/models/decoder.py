@@ -256,6 +256,10 @@ def decoder_step_fused(
     compute_dtype=jnp.float32,
     beam_width: int = 1,
     interpret: bool = False,
+    mesh=None,  # jax Mesh: run the permute kernel per-shard via shard_map,
+    # the cache's [B*K] axis sharded along `data_axis` (dp only — see
+    # ops/fused_step.py permute_append_sharded; resolve_fused fences tp>1)
+    data_axis: str = "data",
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One autoregressive step with the pending beam permutation applied by
     the DMA permute kernel (ops/fused_step.py permute_append) and the
@@ -271,7 +275,10 @@ def decoder_step_fused(
     Numerically matches :func:`decoder_step` composed with a cache reorder
     by ``pending_idx``. Returns (logits [BK, V] f32, cache with plane
     ``1-parity`` current). The caller flips parity each step."""
-    from whisper_tpu.ops.fused_step import permute_append
+    from whisper_tpu.ops.fused_step import (
+        permute_append,
+        permute_append_sharded,
+    )
 
     dec = params["decoder"]
     n_head = dims.n_text_head
@@ -311,10 +318,17 @@ def decoder_step_fused(
         q = layers.linear(bp["attn"]["q"], hn)[:, 0, :]
         k_new = layers.linear(bp["attn"]["k"], hn)[:, 0, :]
         v_new = layers.linear(bp["attn"]["v"], hn)[:, 0, :]
-        ck, cv = permute_append(
-            ck, cv, pending_idx, layer, pos, parity, k_new, v_new,
-            interpret=interpret,
-        )
+        if mesh is not None:
+            ck, cv = permute_append_sharded(
+                ck, cv, pending_idx, layer, pos, parity, k_new, v_new,
+                mesh=mesh, data_axis=data_axis, beam=max(beam_width, 1),
+                interpret=interpret,
+            )
+        else:
+            ck, cv = permute_append(
+                ck, cv, pending_idx, layer, pos, parity, k_new, v_new,
+                interpret=interpret,
+            )
         # Blockdiag XLA attention over the permuted plane, merged layout.
         k2d = jax.lax.dynamic_index_in_dim(
             jax.lax.dynamic_index_in_dim(ck, plane, 0, keepdims=False),
