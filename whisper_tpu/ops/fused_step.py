@@ -647,6 +647,23 @@ def permute_append(
     Returns (cache_k, cache_v) aliasing the inputs."""
     planes, n_layer, bk, ctx, hd = cache_k.shape
     assert planes == 2, "cache must carry a ping-pong plane pair"
+    if "nokernel" in _ABLATE:  # probe-only: attribute the pallas_call's
+        # share of permute_append (WRONG results — the write plane keeps
+        # stale bytes; see tools/probe_fused.py)
+        ck, cv = cache_k, cache_v
+        zero = jnp.int32(0)
+        starts = (
+            1 - jnp.asarray(parity, jnp.int32),
+            jnp.asarray(layer, jnp.int32), zero,
+            jnp.asarray(pos, jnp.int32), zero,
+        )
+        ck = jax.lax.dynamic_update_slice(
+            ck, k_new.astype(ck.dtype)[None, None, :, None, :], starts
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cv, v_new.astype(cv.dtype)[None, None, :, None, :], starts
+        )
+        return ck, cv
     group = _pick_group(bk, ctx, hd, cache_k.dtype.itemsize)
     ncells = bk // group
     idx2 = idx.astype(jnp.int32).reshape(ncells, group)
