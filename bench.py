@@ -44,8 +44,12 @@ def _opt(name, default):
 
 QUANT = _opt("BENCH_QUANT", "int8")
 KV_DTYPE = _opt("BENCH_KV", "float8_e4m3fn")
-_ac = _opt("BENCH_AUDIO_CTX", "")
-AUDIO_CTX = int(_ac) if _ac else None
+_ac = _opt("BENCH_AUDIO_CTX", "auto")
+AUDIO_CTX = "auto" if _ac == "auto" else (int(_ac) if _ac else None)
+# Content seconds per utterance (default: the full 30 s window). Shorter
+# values exercise the audio_ctx="auto" crop the way a real short-utterance
+# workload does; audio-s/s then counts only the REAL audio seconds.
+AUDIO_SECONDS = float(os.environ.get("BENCH_AUDIO_SECONDS", "30"))
 FUSED = os.environ.get("BENCH_FUSED", "auto")
 if FUSED not in ("auto", "lineage", "hybrid", "off"):
     FUSED = FUSED in ("1", "true", "True")
@@ -92,7 +96,11 @@ def main():
     engine = create_engine(EngineType.MONOLITH, config, seed=0)
 
     rng = np.random.default_rng(1)
-    batch = (0.1 * rng.standard_normal((BATCH, 480_000))).astype(np.float32)
+    n_content = min(480_000, int(AUDIO_SECONDS * 16_000))
+    batch = np.zeros((BATCH, 480_000), np.float32)
+    batch[:, :n_content] = (
+        0.1 * rng.standard_normal((BATCH, n_content))
+    ).astype(np.float32)
 
     # Warmup / compile (one executable: BATCH is already a bucket size).
     # Methodology (VERDICT r3 weak#4): compile/warmup excluded; serialized
@@ -118,7 +126,7 @@ def main():
     assert len(res_lists) == n_pipe and len(res_lists[-1]) == BATCH
     results = res_lists[-1]
 
-    audio_seconds = BATCH * 30.0
+    audio_seconds = BATCH * AUDIO_SECONDS
     # Headline basis is EXPLICIT (VERDICT r4 weak#3): the faster of the
     # pipelined steady-state and the serialized median wins the headline,
     # and value_basis says which one it was. Both raw numbers stay in the
@@ -134,6 +142,10 @@ def main():
     # decodes the full budget; generated tokens per row = MAX_NEW.
     from whisper_tpu.utils.roofline import utilization
 
+    # The roofline wants the RESOLVED crop ("auto" resolves per batch).
+    prepared, _, _ = engine._prepare_batch(batch)
+    resolved_ac = engine._resolve_audio_ctx(prepared)
+
     p_len = int(engine._prompt.shape[0])
     roofline = utilization(
         dims,
@@ -147,7 +159,7 @@ def main():
         kv_dtype=KV_DTYPE,
         device_kind=jax.devices()[0].device_kind,
         ctx_bucket=CTX_BUCKET,
-        audio_ctx=AUDIO_CTX,
+        audio_ctx=resolved_ac,
     )
     print(
         json.dumps(
@@ -181,6 +193,9 @@ def main():
                     "pipelined_s_per_batch": round(pipe_s, 4),
                     "fused_step": str(config.fused_step),
                     "audio_transfer_dtype": config.audio_transfer_dtype,
+                    "audio_seconds_per_utt": AUDIO_SECONDS,
+                    "audio_ctx": str(AUDIO_CTX),
+                    "audio_ctx_resolved": resolved_ac,
                     "baseline": "500 audio-s/s per chip = BASELINE.json "
                     "2000/s per 4-chip v5p host, large-v3",
                 },

@@ -27,7 +27,13 @@ def _utterances(n, seed=0):
 @pytest.fixture(scope="module")
 def engine():
     config = EngineConfig(
-        model="dev", language="en", dtype="float32", max_new_tokens=8
+        model="dev", language="en", dtype="float32", max_new_tokens=8,
+        # The slot pool's fixed geometry always runs the full audio window
+        # (serving.py: no per-batch content to derive a crop from), so the
+        # static reference engine must pin the full window too — with the
+        # default audio_ctx="auto" it would crop these short utterances
+        # and legitimately decode different tokens.
+        audio_ctx=None,
     )
     return create_engine(EngineType.ENCDEC, config, seed=0)
 

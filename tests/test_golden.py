@@ -52,6 +52,11 @@ def engine():
         language="en",
         dtype="float32",  # parity first; bf16 benchmarked separately
         max_new_tokens=64,
+        # The golden contract is openai's fixed 30 s window numerics
+        # (whisper.h:27-32 was produced with full audio context); the
+        # default audio_ctx="auto" crop is a documented deviation for
+        # short audio (PARITY.md) and is pinned off here.
+        audio_ctx=None,
     )
     assert config.dims() == dims, "checkpoint is not tiny.en-shaped"
     return create_engine(EngineType.MONOLITH, config, params=params)

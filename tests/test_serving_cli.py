@@ -81,7 +81,10 @@ class TestAsyncTranscriber:
             [f.result(timeout=120) for f in fs]
             fs = [t.submit(_noise(seed=s)) for s in range(4, 10)]
             [f.result(timeout=120) for f in fs]
-        assert eng._pipeline._cache_size() == 1
+        # One audio_ctx crop (same-length utterances) x one batch bucket.
+        assert len(eng._pipelines) == 1
+        (prog,) = eng._pipelines.values()
+        assert prog._cache_size() == 1
 
 
 class TestStreamingSession:

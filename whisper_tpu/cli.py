@@ -33,6 +33,15 @@ def _apply_platform_override() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+def _audio_ctx_arg(v: str):
+    """--audio-ctx parser: 'auto' | 'none' | int (EngineConfig.audio_ctx)."""
+    if v == "auto":
+        return "auto"
+    if v in ("none", "None", "full"):
+        return None
+    return int(v)
+
+
 def _engine_from_args(args):
     """Shared engine construction for transcribe/eval-corpus: checkpoint
     loading + model-family inference, mesh parsing, EngineConfig assembly.
@@ -120,7 +129,7 @@ def _engine_from_args(args):
         initial_prompt=getattr(args, "initial_prompt", None),
         no_speech_threshold=getattr(args, "no_speech_threshold", None),
         fused_step=getattr(args, "fused_step", "auto"),
-        audio_ctx=getattr(args, "audio_ctx", None),
+        audio_ctx=getattr(args, "audio_ctx", "auto"),
     )
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
@@ -301,11 +310,12 @@ def _add_engine_args(p) -> None:
     )
     p.add_argument(
         "--audio-ctx",
-        type=int,
-        default=None,
-        help="crop encoder positions to this many frames (openai's "
-        "audio_ctx trick: ~50 per second of audio + a few; halves the "
-        "cross-KV stream for short utterances — PERF.md)",
+        type=_audio_ctx_arg,
+        default="auto",
+        help="encoder-position crop: 'auto' (default) derives it per batch "
+        "from the measured audio content on a small bucket menu, an int "
+        "forces a crop (~50 per second of audio + a few), 'none' pins the "
+        "full openai 30 s window (bit-exact openai numerics — PERF.md)",
     )
     p.add_argument(
         "--reference-quirks",

@@ -189,9 +189,22 @@ class EngineConfig:
     # dominant HBM stream by 1500/N. Applied POST-encoder (the encoder's
     # representation is unchanged — positions are cropped before cross-KV
     # precompute), so N=1500/None is exactly the uncropped pipeline.
-    # Static: one executable per value. ~750 covers 15 s of audio (each
-    # position is 20 ms).
-    audio_ctx: Optional[int] = None
+    # Static: one executable per value.
+    #
+    # "auto" (default, VERDICT r4 next-#1a): derive N per batch from the
+    # measured audio content — the last non-zero sample across the batch
+    # rows, + a 32-frame (0.64 s) silence margin — snapped UP to a small
+    # bucket menu (engine.AUDIO_CTX_BUCKETS: 512, 1024, full) so the
+    # executable count stays bounded, exactly the ctx-bucket compile-menu
+    # pattern. Full-window audio resolves to the uncropped pipeline, so
+    # the north-star config is unchanged; batches of ≤~9.6 s utterances
+    # get the 512 crop (r4 measured +16.8% with a hand-set 512) without
+    # anyone setting a flag. Cropping trailing-silence context is a
+    # documented numeric deviation from openai's fixed 30 s window
+    # (PARITY.md); audio_ctx=None restores exact openai semantics.
+    # Sequential long-form decode (transcribe_sequential) always runs the
+    # full window — its timestamp-seek contract assumes openai numerics.
+    audio_ctx: object = "auto"
     # Bit-parity mode vs the reference binaries: reproduces its literal
     # multilingual prompt (unshifted task/notimestamps IDs 50359/50363 —
     # whisper.cpp:331-339) and the stereo downmix-by-INT32_MAX bug

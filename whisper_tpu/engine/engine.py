@@ -94,6 +94,17 @@ def batch_bucket(b: int) -> int:
     return 1 << max(b - 1, 0).bit_length()
 
 
+# audio_ctx="auto" compile menu (config.py): encoder-position crops derived
+# from measured batch content, snapped up to these buckets (plus the full
+# window) so the per-model executable count is bounded at 3. 512 covers
+# ≤~9.6 s utterances — the regime the r4 audioctx512 artifact measured at
+# +16.8% on the north-star model. Margin: 32 positions = 0.64 s of trailing
+# silence kept as context.
+AUDIO_CTX_BUCKETS = (512, 1024)
+AUDIO_CTX_MARGIN = 32
+_SAMPLES_PER_POS = 320  # hop 160 x encoder conv stride 2
+
+
 @jax.jit
 def _i16_to_f32(x: jnp.ndarray) -> jnp.ndarray:
     """On-device inverse of audio/wav.py's int16 read scale (i / 32768)."""
@@ -245,29 +256,40 @@ class Engine:
                 amask = default_alignment_mask(self.dims)
             self._align_mask = jnp.asarray(amask)
             dims_, cdt_ = self.dims, jnp.dtype(config.dtype)
+            align_cache = {}
 
-            @jax.jit
-            def align_fn(params, samples, filters, tokens):
-                from whisper_tpu.frontend.mel import log_mel_spectrogram
-                from whisper_tpu.models.decoder import precompute_cross_kv
-                from whisper_tpu.models.encoder import encode as _encode
+            def align_fn_for(ac):
+                # One program per audio_ctx crop — same compile menu as the
+                # decode pipelines, so alignment sees the same positions
+                # the decode attended over.
+                if ac in align_cache:
+                    return align_cache[ac]
 
-                mel = log_mel_spectrogram(
-                    samples, filters, n_mels=dims_.n_mels,
-                    compute_dtype=jnp.float32,
-                )
-                enc_out = self._enc_constraint(
-                    _encode(params, mel.astype(cdt_), dims_)
-                )
-                cross_kv = precompute_cross_kv(
-                    params, enc_out, dims_, kv_dtype=self._kv_dtype
-                )
-                return alignment_matrix(
-                    params, tokens, cross_kv, dims_, self._align_mask,
-                    compute_dtype=cdt_,
-                )
+                @jax.jit
+                def align_fn(params, samples, filters, tokens):
+                    from whisper_tpu.frontend.mel import log_mel_spectrogram
+                    from whisper_tpu.models.decoder import precompute_cross_kv
+                    from whisper_tpu.models.encoder import encode as _encode
 
-            self._align_fn = align_fn
+                    mel = log_mel_spectrogram(
+                        samples, filters, n_mels=dims_.n_mels,
+                        compute_dtype=jnp.float32,
+                    )
+                    enc_out = self._enc_constraint(
+                        _encode(params, mel.astype(cdt_), dims_), ac
+                    )
+                    cross_kv = precompute_cross_kv(
+                        params, enc_out, dims_, kv_dtype=self._kv_dtype
+                    )
+                    return alignment_matrix(
+                        params, tokens, cross_kv, dims_, self._align_mask,
+                        compute_dtype=cdt_,
+                    )
+
+                align_cache[ac] = align_fn
+                return align_fn
+
+            self._align_fn = align_fn_for
         else:
             self._align_fn = None
         # Structured observability (utils/profiling.py) — replaces the
@@ -485,17 +507,18 @@ class Engine:
         if self._align_fn is not None:
             from whisper_tpu.decode.align import words_from_alignment
 
+            run_ac = self._resolve_audio_ctx(batch)
             matrix = np.asarray(
                 jax.block_until_ready(
-                    self._align_fn(
+                    self._align_fn(run_ac)(
                         self.assets.params, self._place_batch(batch),
                         self._filters, jnp.asarray(tokens),
                     )
                 )
             )
             n_frames = max(2, (n // 160) // 2)  # valid encoder positions
-            if self.config.audio_ctx is not None:
-                n_frames = min(n_frames, self.config.audio_ctx)
+            if run_ac is not None:
+                n_frames = min(n_frames, run_ac)
             p_len = len(self._prompt)
             for i in range(b):
                 words_per_row[i] = words_from_alignment(
@@ -1005,13 +1028,46 @@ class Engine:
             x = _i16_to_f32(x)
         return x
 
-    def _enc_constraint(self, enc_out: jnp.ndarray) -> jnp.ndarray:
+    def _resolve_audio_ctx(self, batch) -> Optional[int]:
+        """Map ``config.audio_ctx`` (None | int | "auto") to the static crop
+        this batch's executable compiles for (None = full window).
+
+        "auto" measures the batch's content — the last non-zero sample
+        column of the prepared (zero-padded) host batch — and snaps the
+        covering position count + AUDIO_CTX_MARGIN up to AUDIO_CTX_BUCKETS.
+        Exact zeros are exact silence in both transfer dtypes (int16 and
+        f32 share the 0 point), so padding and true digital silence crop
+        identically. Multi-process global arrays resolve to the full
+        window: content lives sharded across hosts and every process must
+        pick the same executable, so the conservative choice is pinned
+        rather than risking divergent compiles."""
+        ac = self.config.audio_ctx
+        full = self.dims.n_audio_ctx
+        if ac is None:
+            return None
+        if ac != "auto":
+            ac = int(ac)
+            return ac if ac < full else None
+        if isinstance(batch, jax.Array):  # pre-placed global array
+            return None
+        cols = np.flatnonzero(np.any(np.asarray(batch) != 0, axis=0))
+        frames = (int(cols[-1]) // _SAMPLES_PER_POS + 1) if len(cols) else 1
+        need = frames + AUDIO_CTX_MARGIN
+        for b in AUDIO_CTX_BUCKETS:
+            if need <= b < full:
+                return b
+        return None
+
+    def _enc_constraint(
+        self, enc_out: jnp.ndarray, audio_ctx: Optional[int] = None
+    ) -> jnp.ndarray:
         """Post-encoder hook applied at every encode site: crop to
-        ``config.audio_ctx`` positions (see config.py — divides the decode
+        ``audio_ctx`` positions (the batch-resolved value of
+        config.audio_ctx — see _resolve_audio_ctx; divides the decode
         step's dominant cross-KV stream for short utterances) and pin the
         output to [data, None, None] inside jit so the decode loop's
         sharding is decided here, not re-derived per op."""
-        ac = self.config.audio_ctx
+        ac = audio_ctx
         if ac is not None and ac < enc_out.shape[1]:
             enc_out = enc_out[:, :ac]
         if self.mesh is None:
@@ -1087,45 +1143,66 @@ class Monolith(Engine):
 
     def __init__(self, assets: _Assets, config: EngineConfig):
         super().__init__(assets, config)
-        dims, prompt = self.dims, self._prompt
-        cdt = self._compute_dtype
+        self._pipelines = {}
+        self._sampling_pipelines = {}
 
-        @jax.jit
-        def pipeline(params, samples, filters):
-            mel = log_mel_spectrogram(
-                samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
-            )
-            enc_out = self._enc_constraint(encode(params, mel.astype(cdt), dims))
-            prompts, cross_kv = self._make_prompts(params, enc_out)
-            return self._decode(params, enc_out, prompts, cross_kv=cross_kv)
+    def _pipeline_for(self, ac: Optional[int], sampling: bool = False):
+        """jit pipeline for one audio_ctx crop (None = full window) — the
+        compile menu of the "auto" policy, cached like the batch buckets.
+        Temperature stays a TRACED argument of the sampling variant: the
+        whole fallback schedule (and T=0 exact-greedy) shares one
+        executable per (bucket, crop) — no compile per temperature."""
+        cache = self._sampling_pipelines if sampling else self._pipelines
+        if ac in cache:
+            return cache[ac]
+        dims, cdt = self.dims, self._compute_dtype
 
-        @jax.jit
-        def sampling_pipeline(params, samples, filters, temperature, rng):
-            # Temperature is a TRACED argument: the whole fallback schedule
-            # (and T=0 exact-greedy) shares this one executable per batch
-            # bucket — no compile per temperature.
-            mel = log_mel_spectrogram(
-                samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
-            )
-            enc_out = self._enc_constraint(encode(params, mel.astype(cdt), dims))
-            prompts, cross_kv = self._make_prompts(params, enc_out)
-            return self._decode(
-                params, enc_out, prompts, cross_kv=cross_kv,
-                temperature=temperature, rng=rng,
-            )
+        if sampling:
 
-        self._pipeline = pipeline
-        self._sampling_pipeline = sampling_pipeline
+            @jax.jit
+            def program(params, samples, filters, temperature, rng):
+                mel = log_mel_spectrogram(
+                    samples, filters, n_mels=dims.n_mels,
+                    compute_dtype=jnp.float32,
+                )
+                enc_out = self._enc_constraint(
+                    encode(params, mel.astype(cdt), dims), ac
+                )
+                prompts, cross_kv = self._make_prompts(params, enc_out)
+                return self._decode(
+                    params, enc_out, prompts, cross_kv=cross_kv,
+                    temperature=temperature, rng=rng,
+                )
+
+        else:
+
+            @jax.jit
+            def program(params, samples, filters):
+                mel = log_mel_spectrogram(
+                    samples, filters, n_mels=dims.n_mels,
+                    compute_dtype=jnp.float32,
+                )
+                enc_out = self._enc_constraint(
+                    encode(params, mel.astype(cdt), dims), ac
+                )
+                prompts, cross_kv = self._make_prompts(params, enc_out)
+                return self._decode(
+                    params, enc_out, prompts, cross_kv=cross_kv
+                )
+
+        cache[ac] = program
+        return program
 
     def _exec(self, batch, temperature=None, rng=None):
         """One device run → (tokens, lengths, avg_logprob or None) on host."""
+        ac = self._resolve_audio_ctx(batch)
         if temperature is not None:
-            tokens, lengths, avg_lp, nsp = self._sampling_pipeline(
+            tokens, lengths, avg_lp, nsp = self._pipeline_for(ac, True)(
                 self.assets.params, self._place_batch(batch), self._filters,
                 jnp.float32(temperature), rng,
             )
         else:
-            tokens, lengths, avg_lp, nsp = self._pipeline(
+            tokens, lengths, avg_lp, nsp = self._pipeline_for(ac)(
                 self.assets.params, self._place_batch(batch), self._filters
             )
         tokens = self._to_host(tokens)
@@ -1198,7 +1275,7 @@ class Monolith(Engine):
         for samples in batches:
             batch, b, n = self._prepare_batch(np.asarray(samples, np.float32))
             t0 = time.perf_counter()
-            dev = self._pipeline(
+            dev = self._pipeline_for(self._resolve_audio_ctx(batch))(
                 self.assets.params, self._place_batch(batch), self._filters
             )
             inflight.append((b, n, t0, dev))
@@ -1214,15 +1291,9 @@ class EncDec(Engine):
 
     def __init__(self, assets: _Assets, config: EngineConfig):
         super().__init__(assets, config)
-        dims, prompt = self.dims, self._prompt
+        dims = self.dims
         cdt = self._compute_dtype
-
-        @jax.jit
-        def frontend_encode(params, samples, filters):
-            mel = log_mel_spectrogram(
-                samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
-            )
-            return self._enc_constraint(encode(params, mel.astype(cdt), dims))
+        self._encoders = {}
 
         @jax.jit
         def decode_fn(params, enc_out):
@@ -1237,14 +1308,35 @@ class EncDec(Engine):
                 temperature=temperature, rng=rng,
             )
 
-        self._encode = frontend_encode
         self._decode_jit = decode_fn
         self._decode_sampling_jit = decode_sampling_fn
+
+    def _encode_for(self, ac: Optional[int]):
+        """Encoder jit per audio_ctx crop (the decode jits key off the
+        cropped enc_out shape implicitly — one decode executable per
+        (bucket, crop), same menu as the Monolith pipelines)."""
+        if ac in self._encoders:
+            return self._encoders[ac]
+        dims, cdt = self.dims, self._compute_dtype
+
+        @jax.jit
+        def frontend_encode(params, samples, filters):
+            mel = log_mel_spectrogram(
+                samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
+            )
+            return self._enc_constraint(
+                encode(params, mel.astype(cdt), dims), ac
+            )
+
+        self._encoders[ac] = frontend_encode
+        return frontend_encode
 
     def _run(self, batch: np.ndarray, temperature=None, rng=None):
         t0 = time.perf_counter()
         enc_out = jax.block_until_ready(
-            self._encode(self.assets.params, self._place_batch(batch), self._filters)
+            self._encode_for(self._resolve_audio_ctx(batch))(
+                self.assets.params, self._place_batch(batch), self._filters
+            )
         )
         t1 = time.perf_counter()
         if temperature is not None:

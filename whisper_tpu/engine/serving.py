@@ -203,12 +203,22 @@ class _ContinuousBase:
         cdt = engine._compute_dtype
         rules = engine._rules
 
+        # Slot-state geometry is fixed at pool creation, so the crop must be
+        # a static int (or full) — see the init_slot_state note below.
+        _slot_ac = (
+            engine.config.audio_ctx
+            if isinstance(engine.config.audio_ctx, int)
+            else None
+        )
+
         @jax.jit
         def prefill(params, samples, filters):
             mel = log_mel_spectrogram(
                 samples, filters, n_mels=dims.n_mels, compute_dtype=jnp.float32
             )
-            enc_out = engine._enc_constraint(encode(params, mel.astype(cdt), dims))
+            enc_out = engine._enc_constraint(
+                encode(params, mel.astype(cdt), dims), _slot_ac
+            )
             prompts, cross_kv = engine._make_prompts(params, enc_out)
             return cont.prefill_pack(
                 params, enc_out, prompts, dims, eot=eot, total_len=total_len,
@@ -276,10 +286,19 @@ class _ContinuousBase:
         self._step_bucket = step_bucket
         self._insert = insert
         self._move = move
+        # Continuous batching admits utterances at arbitrary times into one
+        # fixed slot state, so there is no per-batch content to derive a
+        # crop from: audio_ctx="auto" resolves to the full window here;
+        # an explicit int still applies to every slot.
+        slot_ac = (
+            engine.config.audio_ctx
+            if isinstance(engine.config.audio_ctx, int)
+            else None
+        )
         self._state = cont.init_slot_state(
             dims, n_slots, total_len, eot,
             cache_dtype=cdt, kv_dtype=engine._kv_dtype,
-            audio_ctx=engine.config.audio_ctx,
+            audio_ctx=slot_ac,
         )
 
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
