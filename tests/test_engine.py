@@ -288,3 +288,62 @@ class TestAudioCtxCrop:
         )
         r = eng.transcribe(_noise(seed=11))
         assert r.length >= 1 and isinstance(r.text, str)
+
+
+class TestLogitBias:
+    """config.logit_bias (the openai-API logit_bias surface): additive
+    per-token biases applied on every decode path."""
+
+    def test_eot_bias_shortens_generations(self):
+        from whisper_tpu.config import EngineConfig
+        from whisper_tpu.engine import EngineType, create_engine
+
+        rng = np.random.default_rng(0)
+        samples = (0.1 * rng.standard_normal((2, 16_000))).astype(np.float32)
+        base = create_engine(
+            EngineType.MONOLITH,
+            EngineConfig(model="dev", language="en", dtype="float32",
+                         max_new_tokens=12),
+            seed=0,
+        )
+        eot = base.vocab.specials.eot
+        biased = create_engine(
+            EngineType.MONOLITH,
+            EngineConfig(model="dev", language="en", dtype="float32",
+                         max_new_tokens=12, logit_bias=((eot, 1e9),)),
+            seed=0,
+        )
+        lens_base = [r.length for r in base.transcribe_batch(samples)]
+        lens_biased = [r.length for r in biased.transcribe_batch(samples)]
+        # An overwhelming EOT boost stops every row at the SECOND step:
+        # suppress_blank (on by default) masks EOT at the first sampled
+        # position, openai semantics — the bias applies after that.
+        p = len(biased._prompt)
+        assert all(l == p + 2 for l in lens_biased), lens_biased
+        assert all(b >= a for a, b in zip(lens_biased, lens_base))
+
+    def test_beam_path_applies_bias(self):
+        from whisper_tpu.config import EngineConfig
+        from whisper_tpu.engine import EngineType, create_engine
+
+        rng = np.random.default_rng(1)
+        samples = (0.1 * rng.standard_normal((2, 16_000))).astype(np.float32)
+        eng = create_engine(
+            EngineType.MONOLITH,
+            EngineConfig(model="dev", language="en", dtype="float32",
+                         max_new_tokens=8, beam_size=3),
+            seed=0,
+        )
+        eot = eng.vocab.specials.eot
+        biased = create_engine(
+            EngineType.MONOLITH,
+            EngineConfig(model="dev", language="en", dtype="float32",
+                         max_new_tokens=8, beam_size=3,
+                         logit_bias=((eot, 1e9),)),
+            seed=0,
+        )
+        p = len(biased._prompt)
+        for r in biased.transcribe_batch(samples):
+            assert r.length == p + 2
+        # unbiased engine still decodes normally
+        assert all(r.length >= p + 1 for r in eng.transcribe_batch(samples))

@@ -53,9 +53,24 @@ def main() -> int:
     ap.add_argument("--sync-every", type=int, default=None,
                     help="decode steps per slot-pool dispatch (default: "
                     "serving.py's)")
+    ap.add_argument("--eot-bias", type=float, default=None,
+                    help="additive EOT logit bias (config.logit_bias): "
+                    "random-weight decodes then stop geometrically, giving "
+                    "REAL decode-length variance — the regime the slot "
+                    "pool's design targets (VERDICT r4 next-#6)")
+    ap.add_argument("--platform", default=None,
+                    help="pin the jax platform (e.g. cpu: RTT≈0 control "
+                    "run — the sitecustomize registers the tunneled TPU "
+                    "backend, so JAX_PLATFORMS alone is a no-op)")
+    ap.add_argument("--arrival-ms", type=float, default=0.0,
+                    help="gap between submits (steady-state serving instead "
+                    "of a burst; per-request latency is reported either way)")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from whisper_tpu.config import EngineConfig
     from whisper_tpu.engine import EngineType, create_engine
@@ -69,6 +84,17 @@ def main() -> int:
         model=args.model, language=args.language, dtype=args.dtype,
         max_new_tokens=args.max_new,
     )
+    if args.eot_bias is not None:
+        from whisper_tpu.tokenizer.vocab import Vocab, num_languages_for
+
+        dims = config.dims()
+        v = Vocab.synthetic(
+            multilingual=config.multilingual,
+            num_languages=num_languages_for(dims.n_vocab),
+        )
+        config = __import__("dataclasses").replace(
+            config, logit_bias=((v.specials.eot, args.eot_bias),)
+        )
     engine = create_engine(EngineType.ENCDEC, config, seed=0)
 
     rng = np.random.default_rng(0)
@@ -81,22 +107,45 @@ def main() -> int:
     audio_s = sum(len(u) for u in utts) / 16_000.0
 
     def run(name, make):
-        t = make()
-        with t:
-            t.transcribe(utts[0])  # warmup: compile everything
+        # Warm and time the SAME instance: the serving-layer jits live in
+        # per-instance closures, so a fresh instance would recompile inside
+        # the timed region (cProfile r5: ~2 s of a 9.6 s CPU continuous run).
         t2 = make()
         with t2:
+            getattr(t2, "warmup", lambda: None)()  # all bucket programs
+            t2.transcribe(utts[0])  # warmup: compile everything else
             t0 = time.perf_counter()
-            futures = [t2.submit(u) for u in utts]
-            for f in futures:
-                f.result(timeout=600)
+            futures, submit_ts, done_ts, lens = [], [], [], []
+            for u in utts:
+                if args.arrival_ms and futures:
+                    time.sleep(args.arrival_ms / 1e3)
+                submit_ts.append(time.perf_counter())
+                futures.append(t2.submit(u))
+            for f, ts in zip(futures, submit_ts):
+                lens.append(f.result(timeout=600).length)
+                done_ts.append(time.perf_counter())
             dt = time.perf_counter() - t0
+        # Completion order == submit order here, so per-request latency is
+        # bounded above by (done - submit); fine for comparing front-ends.
+        lats = [d - s for s, d in zip(submit_ts, done_ts)]
+        extra = {}
+        if hasattr(t2, "dispatch_efficiency"):
+            extra = {
+                "occupancy": round(t2.occupancy, 3),
+                "dispatch_efficiency": round(t2.dispatch_efficiency, 3),
+            }
         print(json.dumps({
             "frontend": name,
+            **extra,
             "utterances": args.n,
             "wall_s": round(dt, 3),
             "utterances_per_s": round(args.n / dt, 2),
             "audio_s_per_s": round(audio_s / dt, 1),
+            "latency_mean_s": round(float(np.mean(lats)), 3),
+            "latency_max_s": round(float(np.max(lats)), 3),
+            "decode_len_mean": round(float(np.mean(lens)), 1),
+            "decode_len_std": round(float(np.std(lens)), 1),
+            "decode_len_minmax": [int(min(lens)), int(max(lens))],
         }))
         return dt
 

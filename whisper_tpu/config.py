@@ -150,6 +150,12 @@ class EngineConfig:
     # " " + text.strip(), then treated exactly like initial_prompt_tokens.
     # Mutually exclusive with initial_prompt_tokens.
     initial_prompt: Optional[str] = None
+    # Additive logit biases, token id → bias (the openai-API logit_bias
+    # surface): applied to every decode step's logits before rules and
+    # selection, on every decode path (greedy, beam, sampling, continuous
+    # slots). Positive boosts, negative soft-suppressions; e.g.
+    # {eot_id: +4.0} shortens generations.
+    logit_bias: Optional[Tuple[Tuple[int, float], ...]] = None
     # Silence gate (openai no_speech_threshold, default there 0.6): when
     # set, the <|nospeech|> probability at the SOT position is read from the
     # prefill logits; a window with prob > threshold is emitted as empty

@@ -123,6 +123,9 @@ def greedy_decode(
     ctx_bucket="auto",  # segment-growth granularity: "auto" (default —
     # CTX_BUCKET when ≥3 segments cover the budget, else off), an int, or
     # None/0 for a single full-size buffer (see ctx_bucket_limits)
+    merged_read="auto",  # blockdiag merged-layout cache read for the decode
+    # steps (models/decoder.py resolve_merged_read: TPU + lane-aligned →
+    # on; the round-4 hybrid-step read, ported to greedy — VERDICT r4 #5)
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P + max_new_tokens], lengths [B]) — plus
     (sum_logprobs [B] f32,) when ``return_logprobs``, plus
@@ -219,11 +222,16 @@ def greedy_decode(
         GreedyState(jnp.int32(p_len + 1), tokens, cache, finished), sum_lp
     )
 
+    from whisper_tpu.models.decoder import resolve_merged_read
+
+    use_merged = resolve_merged_read(merged_read, dims)
+
     def body(ss: _SamplingState) -> _SamplingState:
         s = ss.greedy
         prev = jax.lax.dynamic_index_in_dim(s.tokens, s.pos - 1, axis=1, keepdims=False)
         logits, cache = decoder_step(
-            params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype
+            params, prev, s.pos - 1, s.cache, cross_kv, dims, compute_dtype,
+            merged_read=use_merged,
         )
         nxt, lp = pick(logits, s.tokens, s.pos)
         nxt = jnp.where(s.finished, eot, nxt)

@@ -222,6 +222,22 @@ class Engine:
             )
         else:
             self._rules = None  # raw reference behavior (whisper.cpp:382-383)
+        # Additive logit biases (config.logit_bias, the openai-API surface):
+        # one dense [n_vocab] f32 vector added to every step's logits on
+        # every decode path (greedy/beam/sampling here; continuous slots in
+        # serving.py).
+        if config.logit_bias:
+            pairs = (
+                config.logit_bias.items()
+                if isinstance(config.logit_bias, dict)
+                else config.logit_bias
+            )
+            lb = np.zeros(self.dims.n_vocab, np.float32)
+            for tid, bias in pairs:
+                lb[int(tid)] += float(bias)
+            self._logit_bias = jnp.asarray(lb)
+        else:
+            self._logit_bias = None
         # Sampling + temperature fallback (decode/fallback.py).
         from whisper_tpu.decode.fallback import normalize_schedule
 
@@ -321,6 +337,7 @@ class Engine:
             eot=self.vocab.specials.eot,
             max_new_tokens=self._max_new,
             rules=self._rules,
+            logit_bias=self._logit_bias,
             compute_dtype=self._compute_dtype,
             kv_cache_dtype=self._kv_dtype,
             no_speech=ns,

@@ -222,7 +222,7 @@ class _ContinuousBase:
             prompts, cross_kv = engine._make_prompts(params, enc_out)
             return cont.prefill_pack(
                 params, enc_out, prompts, dims, eot=eot, total_len=total_len,
-                rules=rules, compute_dtype=cdt,
+                rules=rules, logit_bias=engine._logit_bias, compute_dtype=cdt,
                 kv_cache_dtype=engine._kv_dtype, cross_kv=cross_kv,
             )
 
@@ -268,7 +268,8 @@ class _ContinuousBase:
                 i, s = c
                 return i + 1, cont.decode_step_slots(
                     params, s, dims, eot=eot, sample_begin=self._p_len,
-                    rules=rules, compute_dtype=cdt,
+                    rules=rules, logit_bias=engine._logit_bias,
+                    compute_dtype=cdt,
                 )
 
             _, sub = jax.lax.while_loop(cond, body, (jnp.int32(0), sub))
@@ -304,6 +305,14 @@ class _ContinuousBase:
         self._queue: "queue.Queue[Optional[_Request]]" = queue.Queue()
         self._slot_futures: List[Optional[Future]] = [None] * n_slots
         self._closed = False
+        # Harvest source: tiny device COPIES of (active, tokens) taken just
+        # before each macro-step dispatch (see _dispatch_step). The state
+        # itself is donated to the step program, so it cannot be read
+        # afterwards — and reading it before dispatch was a hard sync that
+        # serialized every macro-step (cProfile r5: 50% of continuous wall
+        # in that fetch). The copies resolve as soon as the PREVIOUS step
+        # finishes, so fetching them overlaps the in-flight step.
+        self._pending_harvest = None
         # Occupancy accounting (host-side, sync_every granularity). Each step
         # dispatches ``bucket`` slots (the smallest bucket covering the
         # occupied set), not the full pool — ``dispatch_efficiency`` measures
@@ -311,6 +320,20 @@ class _ContinuousBase:
         self._step_dispatches = 0
         self._occupied_slot_steps = 0
         self._dispatched_slot_steps = 0
+
+    def warmup(self) -> None:
+        """Compile every occupancy-bucket step program up front. Without
+        this, each bucket size compiles lazily on the first request pattern
+        that reaches it — a multi-second stall INSIDE the serving loop
+        (cProfile r5: 8 in-loop compiles = 3.6 s of a 10 s CPU run). The
+        empty pool makes each warmup dispatch a no-op execution: the
+        on-device active-mask early exit fires at entry."""
+        import jax
+
+        for b in self._buckets:
+            self._state = jax.block_until_ready(
+                self._step_bucket(self.engine.assets.params, self._state, b)
+            )
 
     @property
     def occupancy(self) -> float:
@@ -352,6 +375,18 @@ class _ContinuousBase:
         self._step_dispatches += 1
         self._occupied_slot_steps += len(occupied)
         self._dispatched_slot_steps += bucket
+        # Snapshot the harvest inputs (post-compaction, pre-step): after
+        # this call the state buffers are donated to the step program. The
+        # future list is snapshotted BY IDENTITY alongside: a request
+        # inserted into a freed slot after this snapshot must not be
+        # harvested against it (the slot reads inactive with the PREVIOUS
+        # occupant's tokens — a stale-result race the disaggregated loop
+        # hit, where inserts run before harvest).
+        self._pending_harvest = (
+            jnp.copy(self._state.active),
+            jnp.copy(self._state.tokens),
+            list(self._slot_futures),
+        )
         return self._step_bucket(self.engine.assets.params, self._state, bucket)
 
     def _run_prefill(self, group: List[_Request]):
@@ -373,15 +408,24 @@ class _ContinuousBase:
         return [i for i, f in enumerate(self._slot_futures) if f is None]
 
     def _harvest(self) -> None:
-        """Resolve futures of slots that stopped decoding; free their slots."""
-        active = np.asarray(self._state.active)
+        """Resolve futures of slots that stopped decoding; free their slots.
+
+        Reads the snapshot taken at the LAST dispatch (lag-1): a slot that
+        went inactive at step t is frozen by the active mask from then on,
+        so its tokens are stable whenever read; detection costs one extra
+        macro-step of slot-idle latency, and the fetch overlaps the step
+        in flight instead of syncing on it."""
+        if self._pending_harvest is None:
+            return
+        snap_active, snap_tokens, snap_futs = self._pending_harvest
+        active = np.asarray(snap_active)
         done = [
             i for i, f in enumerate(self._slot_futures)
-            if f is not None and not active[i]
+            if f is not None and snap_futs[i] is f and not active[i]
         ]
         if not done:
             return
-        tokens = np.asarray(self._state.tokens)
+        tokens = np.asarray(snap_tokens)
         from whisper_tpu.decode.continuous import harvest_lengths
 
         lengths = np.asarray(
@@ -436,6 +480,17 @@ class ContinuousTranscriber(_ContinuousBase):
     results are token-identical to ``engine.transcribe`` for every utterance
     regardless of arrival order or slot reuse (pinned by
     tests/test_continuous.py).
+
+    Choosing a front-end (r5 A/B, benchmarks/serving_r05.json): the slot
+    pool is DISPATCH-COUNT-bound — each macro-step/prefill/insert is a host
+    round trip — so on a high-RTT link (the tunneled dev chip: ~25 ms)
+    :class:`AsyncTranscriber` wins decisively. On directly-attached chips
+    (the RTT≈0 CPU control), :class:`DisaggregatedTranscriber` beats
+    lock-step async under decode-length variance (117.8 vs 109.9 audio-s/s
+    at 55% length cv) while THIS class — prefill inline with the decode
+    loop — still trails ~20%; prefer Disaggregated when using a slot pool.
+    Call :meth:`warmup` at startup: bucket step programs otherwise compile
+    lazily inside the serving loop.
     """
 
     def __init__(self, *args, **kwargs):
@@ -478,6 +533,17 @@ class ContinuousTranscriber(_ContinuousBase):
         return requests
 
     def _worker(self) -> None:
+        # HARVEST RUNS LAG-1 (r5, VERDICT r4 next-#6): the r4 loop was
+        # dispatch → harvest, and _harvest's np.asarray(state.active) is a
+        # hard sync on the step JUST dispatched — every macro-step became a
+        # blocking round trip (cProfile: 50% of continuous wall in that
+        # fetch on the CPU backend, where RTT is zero). Harvesting BEFORE
+        # the next dispatch reads the PREVIOUS step's state, whose result
+        # resolved while the host was admitting/dispatching — the sync
+        # overlaps device work. Lag-1 is safe: a slot that went inactive at
+        # step t is frozen by the active mask from then on, so its tokens
+        # are stable whenever they are read; it costs one macro-step of
+        # slot-idle latency per finish.
         pending: List[_Request] = []
         while True:
             idle = not pending and all(f is None for f in self._slot_futures)
@@ -488,9 +554,10 @@ class ContinuousTranscriber(_ContinuousBase):
                     while pending or any(
                         f is not None for f in self._slot_futures
                     ):
-                        pending = self._admit(pending)
-                        self._state = self._dispatch_step()
                         self._harvest()
+                        pending = self._admit(pending)
+                        if any(f is not None for f in self._slot_futures):
+                            self._state = self._dispatch_step()
                     return
                 pending.append(req)
                 # Opportunistically drain the queue without blocking.
@@ -505,11 +572,11 @@ class ContinuousTranscriber(_ContinuousBase):
                     pending.append(nxt)
             except queue.Empty:
                 pass
+            self._harvest()
             if pending:
                 pending = self._admit(pending)
             if any(f is not None for f in self._slot_futures):
                 self._state = self._dispatch_step()
-                self._harvest()
 
 
 class DisaggregatedTranscriber(_ContinuousBase):
@@ -647,9 +714,10 @@ class DisaggregatedTranscriber(_ContinuousBase):
                 f is None for f in self._slot_futures
             ):
                 return
+            # Harvest BEFORE dispatch (lag-1 snapshot — see _harvest).
+            self._harvest()
             if any(f is not None for f in self._slot_futures):
                 self._state = self._dispatch_step()
-                self._harvest()
 
 
 class StreamingSession:

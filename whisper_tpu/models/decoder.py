@@ -84,8 +84,21 @@ def _decoder_forward(
     compute_dtype=jnp.float32,
     beam_width: int = 1,
     ctx_limit: int | None = None,
+    merged_read: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """Shared body for prefill (T = prompt length) and step (T = 1).
+
+    ``merged_read`` (T=1 steps only) reads the self-attention cache in its
+    MERGED [B, ctx, H*Dh] layout — the blockdiag formulation the hybrid
+    beam step landed in round 4 (decoder_step_fused): one elementwise k⊙q
+    that fuses into the slice read plus two big non-batched XLA matmuls,
+    instead of H per-(b,h) batched einsum instances. Measured 8.9 vs 11.4
+    ms/step for the attention read at large-v3 beam shapes (PERF.md
+    formulation table); greedy/temperature decode now gets the same read
+    (VERDICT r4 next-#5). Numerics: same products, different reduction
+    order than qkv_attention (the 0/1 blockdiag matmul reduces in f32
+    after bf16 products — ≤1 ulp per score, same class as the hybrid
+    step's documented deviation; parity pinned in tests/test_model.py).
 
     ``ctx_limit`` (static) bounds the self-attention READ to the first
     ``ctx_limit`` cache positions — the decode loops pass the smallest
@@ -139,6 +152,22 @@ def _decoder_forward(
         mask = jnp.where(k_pos <= q_pos, 0.0, NEG_INF).astype(compute_dtype)
 
     rows = jnp.arange(b)
+    merged_read = merged_read and t == 1
+    if merged_read:
+        hd = dims.n_text_state
+        dh = hd // n_head
+        # Blockdiag fold/extract mats (see decoder_step_fused): [HD, H]
+        # selects head h's Dh-lane block into score column h; [H, HD]
+        # extracts head h's true output lanes from the value dot.
+        bd_mat = (
+            jnp.arange(hd)[:, None] // dh == jnp.arange(n_head)[None]
+        ).astype(compute_dtype)
+        et_mat = (
+            jnp.arange(n_head)[:, None] == jnp.arange(hd)[None] // dh
+        ).astype(jnp.float32)
+        scale = float(dh) ** -0.5
+        # Mask broadcast for head-major [B, H, ctx] scores.
+        mask_m = mask.reshape(b, 1, ctx) if per_row else mask.reshape(1, 1, ctx)
 
     def update_cache(cache_full, layer, new):
         """Write this layer's new K/V rows into the FULL [L, B, ctx, H, Dh]
@@ -180,8 +209,34 @@ def _decoder_forward(
         v_cache_l = jax.lax.dynamic_index_in_dim(
             cache_v, layer, 0, keepdims=False
         )[:, :ctx]
-        attn_out = layers.qkv_attention(q, k_cache_l, v_cache_l, mask)
-        h = h + layers.linear(bp["attn"]["o"], layers.merge_heads(attn_out))
+        if merged_read:
+            # Merged-layout blockdiag read (docstring above): the [B, ctx,
+            # H, Dh] slice is a free reshape of [B, ctx, HD].
+            k2d = k_cache_l.reshape(b, ctx, hd).astype(compute_dtype)
+            v2d = v_cache_l.reshape(b, ctx, hd).astype(compute_dtype)
+            qm = q.reshape(b, hd).astype(compute_dtype)
+            kq = k2d * qm[:, None, :]
+            scores = (
+                jnp.einsum(
+                    "bcj,jh->bhc", kq, bd_mat,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+                + mask_m
+            )
+            w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+            vout = jax.lax.dot_general(
+                w.astype(compute_dtype), v2d,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # [B, H, HD]
+            attn_m = jnp.sum(vout * et_mat[None], axis=1).astype(compute_dtype)
+            h = h + layers.linear(bp["attn"]["o"], attn_m[:, None, :])
+        else:
+            attn_out = layers.qkv_attention(q, k_cache_l, v_cache_l, mask)
+            h = h + layers.linear(
+                bp["attn"]["o"], layers.merge_heads(attn_out)
+            )
 
         # --- cross-attention over precomputed encoder K/V ---
         hn = layers.layer_norm(bp["ln2"], h)
@@ -580,14 +635,36 @@ def decoder_step(
     compute_dtype=jnp.float32,
     beam_width: int = 1,
     ctx_limit: int | None = None,
+    merged_read: bool = False,
 ) -> Tuple[jnp.ndarray, KVCache]:
     """One autoregressive step. Returns (logits [B, V], updated cache).
 
     ``beam_width=K``: token/cache batch axis is [B*K] while cross_kv stays at
     B — beams share one cross-KV read (see _decoder_forward).
-    ``ctx_limit`` (static): see _decoder_forward — requires pos < ctx_limit."""
+    ``ctx_limit`` (static): see _decoder_forward — requires pos < ctx_limit.
+    ``merged_read``: blockdiag merged-layout cache read (see
+    _decoder_forward; resolve via :func:`resolve_merged_read`)."""
     logits, cache = _decoder_forward(
         params, token[:, None], pos, cache, cross_kv, dims, compute_dtype,
-        beam_width=beam_width, ctx_limit=ctx_limit,
+        beam_width=beam_width, ctx_limit=ctx_limit, merged_read=merged_read,
     )
     return logits[:, 0, :], cache
+
+
+def resolve_merged_read(merged, dims: ModelDims) -> bool:
+    """"auto" → the merged blockdiag cache read on TPU when the merged head
+    dim is lane-aligned; eager per-head einsum otherwise (CPU stays eager so
+    differential tests compare distinct formulations).
+
+    ``WHISPER_TPU_MERGED_READ`` ∈ {on, off} overrides "auto" — the A/B knob
+    for the greedy step-time artifact (benchmarks/, VERDICT r4 next-#5)."""
+    if merged != "auto":
+        return bool(merged)
+    import os
+
+    env = os.environ.get("WHISPER_TPU_MERGED_READ", "")
+    if env in ("on", "off"):
+        return env == "on"
+    return (
+        jax.default_backend() == "tpu" and dims.n_text_state % 128 == 0
+    )
