@@ -69,6 +69,9 @@ class TranscribeServer:
             from whisper_tpu.engine.serving import ContinuousTranscriber
 
             self._transcriber = ContinuousTranscriber(engine, n_slots=n_slots)
+            # Bucket step programs otherwise compile lazily inside the
+            # serving loop — a multi-second stall on the first requests.
+            self._transcriber.warmup()
         elif mode == "async":
             from whisper_tpu.engine.serving import AsyncTranscriber
 

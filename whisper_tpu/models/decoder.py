@@ -652,12 +652,20 @@ def decoder_step(
 
 
 def resolve_merged_read(merged, dims: ModelDims) -> bool:
-    """"auto" → the merged blockdiag cache read on TPU when the merged head
-    dim is lane-aligned; eager per-head einsum otherwise (CPU stays eager so
-    differential tests compare distinct formulations).
+    """"auto" → the EAGER per-head read everywhere — a measured negative
+    result (r5, VERDICT r4 next-#5): the blockdiag merged-layout read that
+    wins 1.28× inside the hybrid BEAM step LOSES 1.35× on greedy decode
+    (large-v3 b16 greedy A/B on TPU v5e: 232.2 eager vs 156.6 merged
+    audio-s/s end-to-end; serialized 2.50 vs 3.39 s/batch,
+    benchmarks/greedy_merged_read_r05.json). The beam win rides the plane
+    cache's pre-merged [BK, ctx, H*Dh] layout and the K-folded query rows;
+    at greedy shapes (B instead of B*K rows) the H-fold FLOP pad and the
+    kq materialization outweigh the batched-einsum cost they replace. The
+    formulation stays in-tree, parity-pinned (tests/test_model.py
+    TestMergedRead), selectable per call or via the env knob.
 
     ``WHISPER_TPU_MERGED_READ`` ∈ {on, off} overrides "auto" — the A/B knob
-    for the greedy step-time artifact (benchmarks/, VERDICT r4 next-#5)."""
+    behind the artifact."""
     if merged != "auto":
         return bool(merged)
     import os
@@ -665,6 +673,4 @@ def resolve_merged_read(merged, dims: ModelDims) -> bool:
     env = os.environ.get("WHISPER_TPU_MERGED_READ", "")
     if env in ("on", "off"):
         return env == "on"
-    return (
-        jax.default_backend() == "tpu" and dims.n_text_state % 128 == 0
-    )
+    return False
