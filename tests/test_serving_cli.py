@@ -327,3 +327,54 @@ class TestCheckpointCli:
         rc = main(["transcribe", "x.wav", "--checkpoint", ck, "--model", "tiny"])
         assert rc == 2
         assert "dev.en-shaped" in capsys.readouterr().err
+
+
+class TestLengthAwareAdmission:
+    """AsyncTranscriber groups arrivals by their audio_ctx crop bucket
+    (r5): short utterances batch together and get the "auto" crop instead
+    of being pinned to the longest row's window; results stay identical to
+    per-utterance transcribe."""
+
+    def test_mixed_lengths_group_and_match(self):
+        eng = Monolith.from_random(
+            EngineConfig(model="dev", language="en", max_new_tokens=4,
+                         dtype="float32"),
+            seed=0,
+        )
+        rng = np.random.default_rng(0)
+        short = [
+            (0.1 * rng.standard_normal(16_000)).astype(np.float32)
+            for _ in range(3)
+        ]
+        long_ = [
+            (0.1 * rng.standard_normal(470_000)).astype(np.float32)
+            for _ in range(3)
+        ]
+        utts = [short[0], long_[0], short[1], long_[1], short[2], long_[2]]
+        expected = [eng.transcribe(u) for u in utts]
+        with AsyncTranscriber(eng, max_batch=3, max_wait_ms=200) as t:
+            results = [f.result(timeout=120) for f in
+                       [t.submit(u) for u in utts]]
+        for exp, got in zip(expected, results):
+            np.testing.assert_array_equal(
+                got.tokens[: got.length], exp.tokens[: exp.length]
+            )
+        # Two crop buckets compiled: the short group's and the full window.
+        assert len(eng._pipelines) == 2, list(eng._pipelines)
+
+    def test_head_of_queue_never_starved(self):
+        eng = Monolith.from_random(
+            EngineConfig(model="dev", language="en", max_new_tokens=4,
+                         dtype="float32"),
+            seed=0,
+        )
+        rng = np.random.default_rng(1)
+        # One lone long utterance among many shorts: it must still resolve.
+        utts = [(0.1 * rng.standard_normal(470_000)).astype(np.float32)] + [
+            (0.1 * rng.standard_normal(16_000)).astype(np.float32)
+            for _ in range(5)
+        ]
+        with AsyncTranscriber(eng, max_batch=4, max_wait_ms=20) as t:
+            results = [f.result(timeout=120) for f in
+                       [t.submit(u) for u in utts]]
+        assert all(r.length >= 2 for r in results)

@@ -97,14 +97,60 @@ class AsyncTranscriber:
         self.close()
 
     # --- worker ------------------------------------------------------------
+    def _bucket_of(self, samples: np.ndarray) -> int:
+        """Length-aware admission key (r5): utterances whose audio_ctx
+        crop resolves identically batch together, so the "auto" crop
+        (engine.py _resolve_audio_ctx) actually applies under mixed-length
+        load — one 30 s utterance in a FIFO batch of 3 s clips would
+        otherwise pin every row to the full window. Constant (single
+        group, legacy FIFO) unless the engine runs audio_ctx="auto"."""
+        if self.engine.config.audio_ctx != "auto":
+            return 0
+        from whisper_tpu.engine.engine import (
+            AUDIO_CTX_BUCKETS,
+            AUDIO_CTX_MARGIN,
+            _SAMPLES_PER_POS,
+        )
+
+        n = min(len(samples), N_SAMPLES)
+        need = (max(n - 1, 0) // _SAMPLES_PER_POS + 1) + AUDIO_CTX_MARGIN
+        full = self.engine.dims.n_audio_ctx
+        for b in AUDIO_CTX_BUCKETS:
+            if need <= b < full:
+                return b
+        return full
+
+    def _flush_group(self, pending: List[_Request]) -> List[_Request]:
+        """Flush up to max_batch requests sharing the OLDEST request's
+        crop bucket (FIFO-fair: the head of the queue is never starved by
+        later arrivals of other lengths); returns the rest."""
+        b0 = self._bucket_of(pending[0].samples)
+        take: List[_Request] = []
+        keep: List[_Request] = []
+        for r in pending:
+            if len(take) < self.max_batch and self._bucket_of(r.samples) == b0:
+                take.append(r)
+            else:
+                keep.append(r)
+        self._flush(take)
+        return keep
+
     def _worker(self) -> None:
+        pending: List[_Request] = []
         while True:
-            req = self._queue.get()
-            if req is None:
-                return
-            batch = [req]
+            if not pending:
+                req = self._queue.get()
+                if req is None:
+                    return
+                pending.append(req)
             deadline = time.monotonic() + self.max_wait_s
-            while len(batch) < self.max_batch:
+            while True:
+                counts: dict = {}
+                for r in pending:
+                    k = self._bucket_of(r.samples)
+                    counts[k] = counts.get(k, 0) + 1
+                if max(counts.values()) >= self.max_batch:
+                    break
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
                     break
@@ -113,10 +159,11 @@ class AsyncTranscriber:
                 except queue.Empty:
                     break
                 if nxt is None:
-                    self._flush(batch)
+                    while pending:
+                        pending = self._flush_group(pending)
                     return
-                batch.append(nxt)
-            self._flush(batch)
+                pending.append(nxt)
+            pending = self._flush_group(pending)
 
     def _flush(self, batch: List[_Request]) -> None:
         if self.on_status:
