@@ -60,18 +60,37 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts)), float(min(ts))
 
-    # h2d: fresh transfer each reps (jnp.asarray caches? device_put of a
-    # new host buffer each time to defeat caching)
+    # host-side batch preparation: float->int16 clip/round + zero-pad
+    def do_prepare():
+        engine._prepare_batch(samples)
+
+    prep_med, prep_min = med(do_prepare)
+
+    # audio_ctx auto-resolution: np content scan over the prepared batch
+    def do_resolve():
+        engine._resolve_audio_ctx(batch)
+
+    res_med, res_min = med(do_resolve)
+
+    # h2d: fresh transfer each reps, FORCED by a scalar reduction fetch —
+    # block_until_ready on the placed array under-blocks on the tunneled
+    # backend (an earlier version of this tool read 1.5 GB/s that way; the
+    # real tunnel rate is ~55 MB/s).
     bufs = [batch.copy() for _ in range(REPS)]
     it = iter(bufs)
+    checksum = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
 
     def do_h2d():
-        jax.block_until_ready(engine._place_batch(next(it)))
+        float(checksum(engine._place_batch(next(it))))
 
     h2d_med, h2d_min = med(do_h2d)
 
+    # Device program + result fetch: the tunneled backend's
+    # block_until_ready UNDER-BLOCKS (PERF.md probe methodology), so the
+    # stage is timed to a SCALAR FETCH of the output — device + one RTT.
     def do_device():
-        jax.block_until_ready(program(engine.assets.params, placed, engine._filters))
+        out2 = program(engine.assets.params, placed, engine._filters)
+        np.asarray(out2[1])
 
     dev_med, dev_min = med(do_device)
 
@@ -114,15 +133,19 @@ def main():
         "transfer, TPU v5e tunnel",
         "batch_mb_int16": round(mb, 1),
         "stages_ms_median": {
+            "prepare_batch_host": round(prep_med * 1e3, 1),
+            "resolve_audio_ctx_host": round(res_med * 1e3, 1),
             "h2d_transfer": round(h2d_med * 1e3, 1),
-            "device_program": round(dev_med * 1e3, 1),
+            "device_program_plus_rtt": round(dev_med * 1e3, 1),
             "fetch_tokens": round(fetch_med * 1e3, 1),
             "detokenize": round(detok_med * 1e3, 1),
             "dispatch_rtt_floor": round(disp_med * 1e3, 1),
         },
         "stages_ms_min": {
+            "prepare_batch_host": round(prep_min * 1e3, 1),
+            "resolve_audio_ctx_host": round(res_min * 1e3, 1),
             "h2d_transfer": round(h2d_min * 1e3, 1),
-            "device_program": round(dev_min * 1e3, 1),
+            "device_program_plus_rtt": round(dev_min * 1e3, 1),
             "fetch_tokens": round(fetch_min * 1e3, 1),
             "detokenize": round(detok_min * 1e3, 1),
             "dispatch_rtt_floor": round(disp_min * 1e3, 1),

@@ -425,10 +425,15 @@ class Engine:
             # Ship audio at the WAV's native width; _place_batch converts on
             # device. Exact for int16-sourced audio (wav.py reads i/32768);
             # synthetic float input quantizes to the nearest int16 step.
+            # In-place op chain (r5, tiny-path attribution): the original
+            # clip(rint(x*32768)) chain allocated four 123 MB temporaries
+            # per tiny-b64 batch and measured 300-900 ms of host time —
+            # larger than the device program it feeds.
             batch = np.zeros((padded_b, N_SAMPLES), dtype=np.int16)
-            batch[:b, :n] = np.clip(
-                np.rint(samples[:, :n] * 32768.0), -32768, 32767
-            ).astype(np.int16)
+            x = np.multiply(samples[:, :n], 32768.0, dtype=np.float32)
+            np.rint(x, out=x)
+            np.clip(x, -32768, 32767, out=x)
+            batch[:b, :n] = x.astype(np.int16)
         else:
             batch = np.zeros((padded_b, N_SAMPLES), dtype=np.float32)
             batch[:b, :n] = samples[:, :n]  # resize-to-480000 (whisper.cpp:687,698)
