@@ -267,3 +267,38 @@ class TestMergedRead:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), atol=2e-4, rtol=2e-4
         )
+
+
+class TestAsymmetricDecoderDepth:
+    """Model families with decoder depth != encoder depth (large-v3-turbo:
+    4 text layers; Distil-Whisper: 2) run the full engine path — the
+    decoder scans are sized by n_text_layer alone."""
+
+    def test_distil_geometry_end_to_end(self):
+        import dataclasses as _dc
+
+        from whisper_tpu.config import MODEL_DIMS, EngineConfig
+        from whisper_tpu.engine import EngineType, create_engine
+
+        # dev-scale stand-in with the distil shape: deep encoder, 1-layer
+        # decoder (the real distil entries share this asymmetry).
+        assert MODEL_DIMS["distil-large-v3"].n_text_layer == 2
+        assert MODEL_DIMS["distil-large-v3"].n_audio_layer == 32
+        dims = _dc.replace(MODEL_DIMS["dev"], n_text_layer=1)
+        import whisper_tpu.config as cfg
+
+        cfg.MODEL_DIMS["dev-distil"] = dims
+        try:
+            eng = create_engine(
+                EngineType.MONOLITH,
+                EngineConfig(model="dev-distil", language="en",
+                             dtype="float32", max_new_tokens=6),
+                seed=0,
+            )
+            rng = np.random.default_rng(0)
+            res = eng.transcribe_batch(
+                (0.1 * rng.standard_normal((2, 16_000))).astype(np.float32)
+            )
+            assert all(r.length >= 2 for r in res)
+        finally:
+            cfg.MODEL_DIMS.pop("dev-distil", None)

@@ -88,6 +88,22 @@ MODEL_DIMS = {
 MODEL_DIMS["large-v3-turbo"] = dataclasses.replace(
     MODEL_DIMS["large-v3"], n_text_layer=4
 )
+# Distil-Whisper (distil-whisper/distil-large-v3 etc.): the full encoder
+# with a 2-layer decoder — the production "fast large" family; the decode
+# loop's per-step cost scales with n_text_layer, so these are ~16x lighter
+# per token than their teachers on the decode-bound path.
+MODEL_DIMS["distil-large-v3"] = dataclasses.replace(
+    MODEL_DIMS["large-v3"], n_text_layer=2
+)
+MODEL_DIMS["distil-large-v2"] = dataclasses.replace(
+    MODEL_DIMS["large-v2"], n_text_layer=2
+)
+MODEL_DIMS["distil-medium.en"] = dataclasses.replace(
+    MODEL_DIMS["medium.en"], n_text_layer=2
+)
+MODEL_DIMS["distil-small.en"] = dataclasses.replace(
+    MODEL_DIMS["small.en"], n_text_layer=4
+)
 
 # Development model: real vocab/context geometry, minimal width/depth — for
 # CPU tests and CI where a real checkpoint would be needlessly slow.
@@ -150,6 +166,14 @@ class EngineConfig:
     # " " + text.strip(), then treated exactly like initial_prompt_tokens.
     # Mutually exclusive with initial_prompt_tokens.
     initial_prompt: Optional[str] = None
+    # Speculative decoding (decode/speculative.py): a draft model proposes
+    # k_draft tokens per round and the target verifies the window in one
+    # forward — output bit-identical to plain greedy for ANY draft; the
+    # speedup scales with draft/target agreement (Distil-Whisper drafts are
+    # the intended pairing and share the teacher's encoder). Greedy-only
+    # (beam_size 1, no sampling). None = off.
+    draft_model: Optional[str] = None
+    k_draft: int = 4
     # Additive logit biases, token id → bias (the openai-API logit_bias
     # surface): applied to every decode step's logits before rules and
     # selection, on every decode path (greedy, beam, sampling, continuous

@@ -123,7 +123,12 @@ class Engine:
     """Abstract engine (whisper.h:159-163): transcribe float samples or a
     wave file. Batched entry points are the TPU-native extension."""
 
-    def __init__(self, assets: _Assets, config: EngineConfig):
+    def __init__(
+        self,
+        assets: _Assets,
+        config: EngineConfig,
+        draft_params: Optional[Params] = None,
+    ):
         if config.quantization == "int8":
             from whisper_tpu.models.quantize import is_quantized, quantize_params
 
@@ -308,6 +313,48 @@ class Engine:
             self._align_fn = align_fn_for
         else:
             self._align_fn = None
+        # Speculative decoding (config.draft_model, decode/speculative.py):
+        # greedy-only; the draft's params ship with the engine. A draft
+        # whose encoder geometry matches the target's (Distil-Whisper
+        # pairings) shares the target's encoder output; otherwise the
+        # pipeline runs the draft's own mel+encoder on the same samples.
+        if config.draft_model is not None:
+            from whisper_tpu.config import MODEL_DIMS
+
+            if config.beam_size > 1 or self._sampling_on:
+                raise ValueError(
+                    "speculative decoding is greedy-only: draft_model "
+                    "requires beam_size=1 and no sampling/fallback schedule"
+                )
+            self._draft_dims = MODEL_DIMS[config.draft_model]
+            if draft_params is None:
+                # Random draft: tests/benchmarks (output stays exactly the
+                # target's greedy decode regardless — only speed suffers).
+                draft_params = init_params(
+                    self._draft_dims,
+                    jax.random.PRNGKey(1),
+                    dtype=jnp.dtype(config.dtype),
+                )
+            if config.quantization == "int8":
+                from whisper_tpu.models.quantize import (
+                    is_quantized,
+                    quantize_params,
+                )
+
+                if not is_quantized(draft_params):
+                    draft_params = quantize_params(draft_params)
+            self._draft_params = draft_params
+            self._draft_share_encoder = (
+                self._draft_dims.n_audio_state == self.dims.n_audio_state
+                and self._draft_dims.n_mels == self.dims.n_mels
+                and self._draft_dims.n_audio_ctx == self.dims.n_audio_ctx
+            )
+            if not self._draft_share_encoder:
+                self._draft_filters = jnp.asarray(
+                    mel_filterbank(n_mels=self._draft_dims.n_mels)
+                )
+        else:
+            self._draft_params = None
         # Structured observability (utils/profiling.py) — replaces the
         # reference's printf timers (whisper.cpp:708-710, 723-725).
         from whisper_tpu.utils.profiling import StageTimer, Throughput
@@ -316,7 +363,7 @@ class Engine:
         self.throughput = Throughput()
 
     def _decode(self, params, enc_out, prompts, cross_kv=None,
-                temperature=None, rng=None):
+                temperature=None, rng=None, draft_enc=None):
         """Greedy, beam, or sampling decode; returns (tokens, lengths,
         avg_logprob or None).
 
@@ -353,6 +400,24 @@ class Engine:
             p_len = prompts.shape[1]
             gen = jnp.maximum(lengths - p_len, 1).astype(jnp.float32)
             return tokens, lengths, sum_lp / gen, out[3] if ns else None
+        if self._draft_params is not None:
+            from whisper_tpu.decode.speculative import (
+                speculative_greedy_decode,
+            )
+
+            out = speculative_greedy_decode(
+                params, self._draft_params, enc_out, prompts,
+                self.dims, self._draft_dims,
+                eot=self.vocab.specials.eot,
+                max_new_tokens=self._max_new,
+                k_draft=self.config.k_draft,
+                enc_out_d=draft_enc,
+                rules=self._rules, logit_bias=self._logit_bias,
+                compute_dtype=self._compute_dtype,
+                kv_cache_dtype=self._kv_dtype, no_speech=ns,
+            )
+            tokens, lengths = out[0], out[1]  # out[2] = stats (device scalars)
+            return tokens, lengths, None, out[3] if ns else None
         if self.config.beam_size > 1:
             out = beam_decode(
                 params, enc_out, prompts, beam_size=self.config.beam_size,
@@ -1144,6 +1209,7 @@ class Engine:
         config: EngineConfig,
         vocab_bin: Optional[str] = None,
         vocab: Optional[Vocab] = None,
+        draft_params: Optional[Params] = None,
     ) -> "Engine":
         dims = config.dims()
         if vocab_bin is not None:
@@ -1156,15 +1222,18 @@ class Engine:
             num_languages=num_languages_for(dims.n_vocab),
         )
             filters = mel_filterbank(n_mels=dims.n_mels)
-        return cls(_Assets(params, dims, vocab, filters), config)
+        return cls(
+            _Assets(params, dims, vocab, filters), config,
+            draft_params=draft_params,
+        )
 
 
 class Monolith(Engine):
     """Whole pipeline in one compiled program (reference whisper.cpp:667-738:
     pad → mel → single Invoke of a generate-embedding graph → int IDs)."""
 
-    def __init__(self, assets: _Assets, config: EngineConfig):
-        super().__init__(assets, config)
+    def __init__(self, assets: _Assets, config: EngineConfig, **kw):
+        super().__init__(assets, config, **kw)
         self._pipelines = {}
         self._sampling_pipelines = {}
 
@@ -1208,8 +1277,27 @@ class Monolith(Engine):
                     encode(params, mel.astype(cdt), dims), ac
                 )
                 prompts, cross_kv = self._make_prompts(params, enc_out)
+                draft_enc = None
+                if (
+                    self._draft_params is not None
+                    and not self._draft_share_encoder
+                ):
+                    # Draft with its own frontend geometry (e.g. a tiny
+                    # draft under a large-v3 target: 80 vs 128 mel bins):
+                    # run its mel+encoder on the same samples, same crop.
+                    ddims = self._draft_dims
+                    mel_d = log_mel_spectrogram(
+                        samples, self._draft_filters, n_mels=ddims.n_mels,
+                        compute_dtype=jnp.float32,
+                    )
+                    draft_enc = encode(
+                        self._draft_params, mel_d.astype(cdt), ddims
+                    )
+                    if ac is not None and ac < draft_enc.shape[1]:
+                        draft_enc = draft_enc[:, :ac]
                 return self._decode(
-                    params, enc_out, prompts, cross_kv=cross_kv
+                    params, enc_out, prompts, cross_kv=cross_kv,
+                    draft_enc=draft_enc,
                 )
 
         cache[ac] = program
@@ -1311,8 +1399,15 @@ class Monolith(Engine):
 class EncDec(Engine):
     """Separate encode and decode programs (reference whisper.cpp:740-776)."""
 
-    def __init__(self, assets: _Assets, config: EngineConfig):
-        super().__init__(assets, config)
+    def __init__(self, assets: _Assets, config: EngineConfig, **kw):
+        super().__init__(assets, config, **kw)
+        if self._draft_params is not None and not self._draft_share_encoder:
+            raise ValueError(
+                "EncDec with a draft of different frontend geometry is "
+                "unsupported (the decode program has no samples to run the "
+                "draft encoder on); use MONOLITH, or a Distil draft that "
+                "shares the target's encoder geometry"
+            )
         dims = self.dims
         cdt = self._compute_dtype
         self._encoders = {}
@@ -1387,9 +1482,16 @@ def create_engine(
     params: Optional[Params] = None,
     vocab_bin: Optional[str] = None,
     seed: int = 0,
+    draft_params: Optional[Params] = None,
 ) -> Engine:
-    """Factory (reference create_engine, whisper.cpp:778-790)."""
+    """Factory (reference create_engine, whisper.cpp:778-790).
+
+    ``draft_params``: weights for ``config.draft_model`` (speculative
+    decoding); omitted → random draft (tests/benchmarks — output is the
+    target's exact greedy decode regardless, see decode/speculative.py)."""
     cls = Monolith if EngineType(engine_type) == EngineType.MONOLITH else EncDec
     if params is None:
         return cls.from_random(config, seed=seed)
-    return cls.from_assets(params, config, vocab_bin=vocab_bin)
+    return cls.from_assets(
+        params, config, vocab_bin=vocab_bin, draft_params=draft_params
+    )

@@ -127,11 +127,12 @@ def _decoder_forward(
         ctx = min(ctx, int(ctx_limit))
     pos_offset = jnp.asarray(pos_offset)
     per_row = pos_offset.ndim == 1
-    if per_row and t != 1:
-        raise ValueError("per-row positions require single-token steps")
 
     if per_row:
-        pos_emb = jnp.take(dec["pos_emb"], pos_offset, axis=0)[:, None, :]
+        # Per-row absolute positions (continuous batching T=1; speculative
+        # verify windows T=k): row b's tokens sit at pos_offset[b] + i.
+        row_pos = pos_offset[:, None] + jnp.arange(t, dtype=jnp.int32)[None]
+        pos_emb = jnp.take(dec["pos_emb"], row_pos, axis=0)  # [B, T, D]
     else:
         pos_emb = jax.lax.dynamic_slice_in_dim(
             dec["pos_emb"], pos_offset, t, axis=0
@@ -143,9 +144,9 @@ def _decoder_forward(
     # pos_offset + i may see keys at positions <= that. Unwritten cache rows
     # sit above the diagonal and are masked by construction.
     if per_row:
-        k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, ctx), 1)
-        mask = jnp.where(k_pos <= pos_offset[:, None], 0.0, NEG_INF)
-        mask = mask[:, None, None, :].astype(compute_dtype)  # [B,1,1,ctx]
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (b, t, ctx), 2)
+        mask = jnp.where(k_pos <= row_pos[:, :, None], 0.0, NEG_INF)
+        mask = mask[:, None, :, :].astype(compute_dtype)  # [B,1,T,ctx]
     else:
         q_pos = pos_offset + jax.lax.broadcasted_iota(jnp.int32, (t, ctx), 0)
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (t, ctx), 1)
@@ -184,8 +185,12 @@ def _decoder_forward(
         write)."""
         new = new.astype(cache_full.dtype)
         if per_row:
-            # Scatter each row's single new entry at its own position.
-            return cache_full.at[layer, rows, pos_offset].set(new[:, 0])
+            if t == 1:
+                # Scatter each row's single new entry at its own position.
+                return cache_full.at[layer, rows, pos_offset].set(new[:, 0])
+            # Multi-token per-row window (speculative verify): scatter the
+            # [B, T] rows at their per-row absolute positions.
+            return cache_full.at[layer, rows[:, None], row_pos].set(new)
         return jax.lax.dynamic_update_slice(
             cache_full, new[None], (layer, 0, pos_offset, 0, 0)
         )
@@ -606,6 +611,25 @@ def decoder_step_lineage(
     x = layers.layer_norm(dec["ln"], x)
     logits = layers.unembed(dec["tok_emb"], x)
     return logits[:, 0, :], {"k": new_k, "v": new_v}, lineage
+
+
+def decoder_window(
+    params: Params,
+    tokens: jnp.ndarray,  # [B, T] int32 — T consecutive tokens per row
+    pos: jnp.ndarray,  # [B] int32 — absolute position of tokens[:, 0]
+    cache: KVCache,
+    cross_kv: KVCache,
+    dims: ModelDims,
+    compute_dtype=jnp.float32,
+) -> Tuple[jnp.ndarray, KVCache]:
+    """Multi-token forward at PER-ROW absolute positions — the speculative
+    verify pass (decode/speculative.py): one target forward scores a whole
+    window of draft proposals, writing their K/V rows in place. Returns
+    (logits [B, T, V], cache). Row b's window covers positions
+    pos[b]..pos[b]+T-1; the caller guarantees pos[b]+T <= cache length."""
+    return _decoder_forward(
+        params, tokens, pos, cache, cross_kv, dims, compute_dtype
+    )
 
 
 def decoder_prefill(
