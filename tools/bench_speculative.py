@@ -48,7 +48,7 @@ def _loop_time(fn, *args):
     import jax
 
     f = jax.jit(fn)
-    float(f(*args))
+    jax.block_until_ready(f(*args))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
@@ -81,7 +81,7 @@ def step_probe(params, dims, t_window, ctx, kv_dtype):
     pos0 = jnp.full((BATCH,), 8, jnp.int32)
     tok0 = jnp.full((BATCH, t_window), 11, jnp.int32)
 
-    def run(tok0, cache_k, cache_v):
+    def run(params, cross, tok0, cache_k, cache_v):
         def body(i, carry):
             tok, ck, cv = carry
             logits, cache = decoder_window(
@@ -100,12 +100,22 @@ def step_probe(params, dims, t_window, ctx, kv_dtype):
             + ck.astype(jnp.float32).ravel()[0]
         )
 
-    return _loop_time(run, tok0, cache["k"], cache["v"])
+    return _loop_time(run, params, cross, tok0, cache["k"], cache["v"])
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    try:  # persistent compile cache: repeat runs skip the large-v3 compiles
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # noqa: BLE001
+        pass
 
     from whisper_tpu.config import MODEL_DIMS, EngineConfig
     from whisper_tpu.engine import EngineType, create_engine

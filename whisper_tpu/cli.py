@@ -130,12 +130,26 @@ def _engine_from_args(args):
         no_speech_threshold=getattr(args, "no_speech_threshold", None),
         fused_step=getattr(args, "fused_step", "auto"),
         audio_ctx=getattr(args, "audio_ctx", "auto"),
+        draft_model=getattr(args, "draft_model", None),
+        k_draft=getattr(args, "k_draft", 4),
     )
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
     )
+    draft_params = None
+    if getattr(args, "draft_checkpoint", None):
+        from whisper_tpu.models.convert import load_checkpoint
+
+        draft_params, ddims = load_checkpoint(args.draft_checkpoint)
+        if config.draft_model and MODEL_DIMS[config.draft_model] != ddims:
+            print(
+                f"error: draft checkpoint is not {config.draft_model}-shaped",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
     return create_engine(
-        engine_type, config, params=params, vocab_bin=args.vocab
+        engine_type, config, params=params, vocab_bin=args.vocab,
+        draft_params=draft_params,
     )
 
 
@@ -316,6 +330,23 @@ def _add_engine_args(p) -> None:
         "from the measured audio content on a small bucket menu, an int "
         "forces a crop (~50 per second of audio + a few), 'none' pins the "
         "full openai 30 s window (bit-exact openai numerics — PERF.md)",
+    )
+    p.add_argument(
+        "--draft-model",
+        default=None,
+        help="speculative decoding draft (decode/speculative.py): a small "
+        "model proposes k tokens per round, the target verifies the window "
+        "in one forward — output bit-identical to plain greedy; pair with "
+        "a distil-* model of the target (greedy-only). Weights load from "
+        "--draft-checkpoint, or are random (throughput testing).",
+    )
+    p.add_argument(
+        "--k-draft", type=int, default=4,
+        help="draft tokens proposed per speculative round",
+    )
+    p.add_argument(
+        "--draft-checkpoint", default=None,
+        help="checkpoint for --draft-model (.pt | HF dir | npz)",
     )
     p.add_argument(
         "--reference-quirks",

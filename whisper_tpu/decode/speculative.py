@@ -91,7 +91,10 @@ def speculative_greedy_decode(
     if total_len > dims_t.n_text_ctx:
         raise ValueError("prompt + max_new_tokens exceeds n_text_ctx")
     # Slack: a verify window starting at the last budget position may write
-    # k positions past it; the slack rows are scratch, never emitted.
+    # k positions past it; the slack rows are scratch, never emitted. For
+    # positions >= n_text_ctx the position-embedding gather CLIPS to the
+    # table's last row (jnp.take default) — garbage logits, but only ever
+    # produced for slack positions whose commits the budget clamp zeroes.
     l_buf = min(total_len + k, dims_t.n_text_ctx + k)
 
     if enc_out_d is None:
