@@ -3,7 +3,8 @@ target model verifies the whole window in ONE forward.
 
 Decode on TPU is HBM-bound — every step re-reads the weights and both KV
 streams regardless of how many tokens it scores (PERF.md) — so scoring
-k+1 positions per target forward costs barely more than scoring one,
+k+1 positions per target forward costs barely more than scoring one
+(measured 1.49× at large-v3 k=4, benchmarks/speculative_r05.json),
 while advancing `accepted + 1` tokens per round. The output is
 **bit-identical to the target's own greedy decode** for ANY draft: a
 draft token is accepted only if it equals the target's rule-constrained
@@ -11,6 +12,16 @@ draft token is accepted only if it equals the target's rule-constrained
 the target's own choice — so every emitted token is exactly the token
 ``greedy_decode`` would have picked (differential-tested in
 tests/test_speculative.py, including a deliberately unrelated draft).
+
+Numeric caveat (measured, PARITY.md): "exactly" means exact up to the
+kernel formulation — the (k+1)-token verify window and the 1-token step
+are different XLA programs, and at bf16 their logits differ by
+reduction order/tiling (max |Δ| ≈ 0.064 measured at large-v3). Random
+init gives pathologically thin argmax margins (0.03-0.04 at large-v3 —
+BELOW that Δ), so random-weight bf16 parity can flip near-ties at
+large scale; f32, and bf16 at tiny scale, are pinned bit-exact on both
+CPU and TPU. Real checkpoints decode with far wider margins at the
+positions greedy actually takes.
 Speedup, not correctness, depends on draft quality: Distil-Whisper
 drafts (config.py distil-* entries — 2-layer decoders distilled from
 these exact teachers) are the intended pairing, and they inherit the
