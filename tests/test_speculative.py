@@ -225,3 +225,31 @@ class TestEngineIntegration:
                              draft_model="dev"),
                 seed=0,
             )
+
+
+class TestDraftCacheContinuity:
+    """Regression (review r5): full-accept rounds must leave the draft
+    cache gapless — the k-step draft scan never wrote the LAST proposal's
+    K/V row, so every full-accept round left a permanent zero row the
+    draft attended over, decaying acceptance. With the k+1-step scan, a
+    self-draft sustains 100% acceptance over a long budget: any hole
+    would corrupt later proposals and inflate the round count."""
+
+    def test_long_self_draft_round_count(self):
+        pt = init_params(DIMS, jax.random.PRNGKey(0))
+        enc = 0.3 * jax.random.normal(
+            jax.random.PRNGKey(2), (2, DIMS.n_audio_ctx, DIMS.n_audio_state)
+        )
+        prompt = jnp.tile(
+            jnp.array([[50258, 50259, 50359, 50363]], jnp.int32), (2, 1)
+        )
+        ref_t, _ = greedy_decode(
+            pt, enc, prompt, DIMS, eot=EOT, max_new_tokens=48
+        )
+        toks, lens, stats = speculative_greedy_decode(
+            pt, pt, enc, prompt, DIMS, DIMS, eot=EOT, max_new_tokens=48,
+            k_draft=4,
+        )
+        np.testing.assert_array_equal(np.asarray(toks), np.asarray(ref_t))
+        # 47 post-first tokens at 5/round with sustained full acceptance.
+        assert int(stats["rounds"]) == 10, int(stats["rounds"])

@@ -18,9 +18,11 @@ quantities the speedup model is MADE of:
      k draft steps + one verify for a single token. The measured
      slowdown bounds what a BAD draft costs.
 
-The artifact combines these into the standard speculative model:
+The artifact combines these into the standard speculative model (k+1
+draft steps per round: the extra step writes the last proposal's K/V
+row, see decode/speculative.py):
   tokens/round = 1 + alpha*k (alpha = acceptance rate)
-  T_round      = T_verify(k+1) + k*T_draft
+  T_round      = T_verify(k+1) + (k+1)*T_draft
   speedup      = (1 + alpha*k) * T_step / T_round
 
 Usage (repo root): python tools/bench_speculative.py [model] [draft] [batch]
@@ -160,7 +162,7 @@ def main():
     model = {}
     for alpha in (0.0, 0.5, 0.7, 0.9):
         tokens_per_round = 1 + alpha * K
-        t_round = t_verify + K * t_draft
+        t_round = t_verify + (K + 1) * t_draft
         model[f"alpha_{alpha}"] = round(
             tokens_per_round * t_step / t_round, 2
         )

@@ -136,12 +136,26 @@ def _engine_from_args(args):
     engine_type = (
         EngineType.ENCDEC if args.engine == "encdec" else EngineType.MONOLITH
     )
+    if config.draft_model is not None and config.draft_model not in MODEL_DIMS:
+        print(
+            f"error: unknown --draft-model {config.draft_model!r} "
+            f"(choices: {', '.join(sorted(MODEL_DIMS))})",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     draft_params = None
     if getattr(args, "draft_checkpoint", None):
+        if config.draft_model is None:
+            print(
+                "error: --draft-checkpoint requires --draft-model "
+                "(speculative decoding never activates without it)",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         from whisper_tpu.models.convert import load_checkpoint
 
         draft_params, ddims = load_checkpoint(args.draft_checkpoint)
-        if config.draft_model and MODEL_DIMS[config.draft_model] != ddims:
+        if MODEL_DIMS[config.draft_model] != ddims:
             print(
                 f"error: draft checkpoint is not {config.draft_model}-shaped",
                 file=sys.stderr,

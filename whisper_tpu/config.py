@@ -171,7 +171,8 @@ class EngineConfig:
     # forward — output bit-identical to plain greedy for ANY draft; the
     # speedup scales with draft/target agreement (Distil-Whisper drafts are
     # the intended pairing and share the teacher's encoder). Greedy-only
-    # (beam_size 1, no sampling). None = off.
+    # (beam_size 1, no sampling); transcribe_sequential does not use the
+    # draft (its per-window programs decode plain greedy). None = off.
     draft_model: Optional[str] = None
     k_draft: int = 4
     # Additive logit biases, token id → bias (the openai-API logit_bias

@@ -124,8 +124,11 @@ def greedy_decode(
     # CTX_BUCKET when ≥3 segments cover the budget, else off), an int, or
     # None/0 for a single full-size buffer (see ctx_bucket_limits)
     merged_read="auto",  # blockdiag merged-layout cache read for the decode
-    # steps (models/decoder.py resolve_merged_read: TPU + lane-aligned →
-    # on; the round-4 hybrid-step read, ported to greedy — VERDICT r4 #5)
+    # steps. "auto" resolves to OFF everywhere — measured 1.35x SLOWER
+    # than the eager per-head read at large-v3 greedy shapes (the hybrid
+    # BEAM step's win doesn't transfer; benchmarks/greedy_merged_read_
+    # r05.json). Force with True or WHISPER_TPU_MERGED_READ=on
+    # (models/decoder.py resolve_merged_read).
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P + max_new_tokens], lengths [B]) — plus
     (sum_logprobs [B] f32,) when ``return_logprobs``, plus

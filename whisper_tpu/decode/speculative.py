@@ -87,6 +87,8 @@ def speculative_greedy_decode(
     compute_dtype=jnp.float32,
     kv_cache_dtype=None,
     no_speech: Optional[Tuple[int, int]] = None,  # (sot_index, nospeech_id)
+    cross_kv_t: Optional[KVCache] = None,  # target cross-KV, when the
+    # caller already computed it (language autodetection shares it)
 ) -> Tuple[jnp.ndarray, ...]:
     """Returns (tokens [B, P+max_new], lengths [B], stats) — plus
     (no_speech_probs [B],) when ``no_speech`` is given. ``stats`` is a dict
@@ -116,9 +118,11 @@ def speculative_greedy_decode(
             )
         enc_out_d = enc_out_t.astype(compute_dtype)
 
-    cross_t = precompute_cross_kv(
-        params_t, enc_out_t, dims_t, kv_dtype=kv_cache_dtype
-    )
+    cross_t = cross_kv_t
+    if cross_t is None:
+        cross_t = precompute_cross_kv(
+            params_t, enc_out_t, dims_t, kv_dtype=kv_cache_dtype
+        )
     cross_d = precompute_cross_kv(
         params_d, enc_out_d, dims_d, kv_dtype=kv_cache_dtype
     )
@@ -176,7 +180,17 @@ def speculative_greedy_decode(
     def body(s: SpecState) -> SpecState:
         pos, tokens = s.pos, s.tokens
 
-        # --- draft phase: k per-row greedy steps on the draft model ---
+        # --- draft phase: k+1 per-row greedy steps on the draft model.
+        # The EXTRA step exists to write d_k's own K/V row (position
+        # pos+k-1): on a full-accept round the next window starts at
+        # pos+k, so that row would otherwise never be written and every
+        # later draft read would attend over a permanent zero row,
+        # silently degrading acceptance (found by review r5 — the hole
+        # was empirically visible as zeroed draft-cache rows after
+        # full-accept rounds). On partial accepts the extra row is stale
+        # but sits at/above the next window's write frontier and is
+        # rewritten before any read, like every other rejected row. The
+        # (k+1)-th proposal itself is discarded. ---
         prev = tokens[rows, pos - 1]
 
         def draft_step(carry, j):
@@ -195,9 +209,9 @@ def speculative_greedy_decode(
 
         (_, cache_d, tokens_prov), drafts = jax.lax.scan(
             draft_step, (prev, s.cache_d, tokens),
-            jnp.arange(k, dtype=jnp.int32),
+            jnp.arange(k + 1, dtype=jnp.int32),
         )
-        drafts = jnp.swapaxes(drafts, 0, 1)  # [B, k]
+        drafts = jnp.swapaxes(drafts, 0, 1)[:, :k]  # [B, k]
 
         # --- verify: ONE target forward over [prev, d_1..d_k] ---
         window = jnp.concatenate([prev[:, None], drafts], axis=1)  # [B, k+1]

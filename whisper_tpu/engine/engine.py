@@ -415,6 +415,7 @@ class Engine:
                 rules=self._rules, logit_bias=self._logit_bias,
                 compute_dtype=self._compute_dtype,
                 kv_cache_dtype=self._kv_dtype, no_speech=ns,
+                cross_kv_t=cross_kv,
             )
             tokens, lengths = out[0], out[1]  # out[2] = stats (device scalars)
             return tokens, lengths, None, out[3] if ns else None
@@ -767,7 +768,13 @@ class Engine:
         trades throughput for openai-equivalent accuracy semantics.
 
         Returns one TranscriptionResult whose ``segments`` carry absolute
-        times across the whole file."""
+        times across the whole file.
+
+        Always decodes the full audio window (config.audio_ctx "auto"/int
+        crops do not apply — the timestamp-seek contract assumes openai
+        numerics) and does NOT use a configured ``draft_model``
+        (speculative decoding is not plumbed into the per-prompt-length
+        sequential programs; windows decode plain greedy/beam)."""
         from whisper_tpu.decode.segments import parse_segments
         from whisper_tpu.decode.sequential import (
             WINDOW_SECONDS,
@@ -924,6 +931,7 @@ class Engine:
             enc_out = self._enc_constraint(encode(params, mel.astype(cdt), dims))
             common = dict(
                 dims=dims, eot=eot, max_new_tokens=max_new, rules=rules,
+                logit_bias=self._logit_bias,
                 compute_dtype=cdt, kv_cache_dtype=self._kv_dtype,
             )
             if beam > 1:

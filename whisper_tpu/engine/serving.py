@@ -120,36 +120,47 @@ class AsyncTranscriber:
                 return b
         return full
 
-    def _flush_group(self, pending: List[_Request]) -> List[_Request]:
-        """Flush up to max_batch requests sharing the OLDEST request's
-        crop bucket (FIFO-fair: the head of the queue is never starved by
-        later arrivals of other lengths); returns the rest."""
-        b0 = self._bucket_of(pending[0].samples)
+    def _flush_group(
+        self, pending: List[tuple], bucket: Optional[int] = None
+    ) -> List[tuple]:
+        """Flush up to max_batch pending ``(bucket, request)`` entries of
+        one bucket — the given one, else the OLDEST entry's (deadline
+        expiry: the head of the queue is never starved by later arrivals
+        of other lengths). Returns the rest."""
+        b0 = pending[0][0] if bucket is None else bucket
         take: List[_Request] = []
-        keep: List[_Request] = []
-        for r in pending:
-            if len(take) < self.max_batch and self._bucket_of(r.samples) == b0:
-                take.append(r)
+        keep: List[tuple] = []
+        for entry in pending:
+            if len(take) < self.max_batch and entry[0] == b0:
+                take.append(entry[1])
             else:
-                keep.append(r)
+                keep.append(entry)
         self._flush(take)
         return keep
 
     def _worker(self) -> None:
-        pending: List[_Request] = []
+        pending: List[tuple] = []  # (bucket, request), arrival order
+
+        def admit(req):
+            pending.append((self._bucket_of(req.samples), req))
+
         while True:
             if not pending:
                 req = self._queue.get()
                 if req is None:
                     return
-                pending.append(req)
+                admit(req)
             deadline = time.monotonic() + self.max_wait_s
+            full_bucket = None
             while True:
                 counts: dict = {}
-                for r in pending:
-                    k = self._bucket_of(r.samples)
-                    counts[k] = counts.get(k, 0) + 1
-                if max(counts.values()) >= self.max_batch:
+                for b, _ in pending:
+                    counts[b] = counts.get(b, 0) + 1
+                full_bucket = next(
+                    (b for b, c in counts.items() if c >= self.max_batch),
+                    None,
+                )
+                if full_bucket is not None:
                     break
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
@@ -162,8 +173,12 @@ class AsyncTranscriber:
                     while pending:
                         pending = self._flush_group(pending)
                     return
-                pending.append(nxt)
-            pending = self._flush_group(pending)
+                admit(nxt)
+            # A FULL bucket flushes as a whole batch (whichever bucket it
+            # is — flushing the head's possibly-singleton bucket here
+            # would dispatch an undersized batch before its deadline);
+            # deadline expiry flushes the head's bucket, FIFO-fair.
+            pending = self._flush_group(pending, full_bucket)
 
     def _flush(self, batch: List[_Request]) -> None:
         if self.on_status:
@@ -524,9 +539,15 @@ class ContinuousTranscriber(_ContinuousBase):
 
     Greedy decode only (beam hypotheses would multiply the slot axis);
     suppress/timestamp rules and language autodetection are supported —
-    results are token-identical to ``engine.transcribe`` for every utterance
-    regardless of arrival order or slot reuse (pinned by
-    tests/test_continuous.py).
+    results are token-identical to ``engine.transcribe`` for every
+    utterance regardless of arrival order or slot reuse when the engine
+    and pool decode the same audio window, i.e. ``audio_ctx`` None or an
+    int (pinned by tests/test_continuous.py). Under the default
+    ``audio_ctx="auto"`` the slot pool always runs the FULL window (its
+    slot geometry is fixed at pool creation — no per-batch content to
+    derive a crop from), while ``engine.transcribe`` crops short audio:
+    a documented numeric-deviation pair, same class as the crop itself
+    (PARITY.md).
 
     Choosing a front-end (r5 A/B, benchmarks/serving_r05.json): the slot
     pool is DISPATCH-COUNT-bound — each macro-step/prefill/insert is a host
