@@ -225,7 +225,7 @@ class EngineConfig:
     # "auto" (default, VERDICT r4 next-#1a): derive N per batch from the
     # measured audio content — the last non-zero sample across the batch
     # rows, + a 32-frame (0.64 s) silence margin — snapped UP to a small
-    # bucket menu (engine.AUDIO_CTX_BUCKETS: 512, 1024, full) so the
+    # bucket menu (engine.AUDIO_CTX_BUCKETS: 256, 512, 1024, full) so the
     # executable count stays bounded, exactly the ctx-bucket compile-menu
     # pattern. Full-window audio resolves to the uncropped pipeline, so
     # the north-star config is unchanged; batches of ≤~9.6 s utterances

@@ -96,11 +96,12 @@ def batch_bucket(b: int) -> int:
 
 # audio_ctx="auto" compile menu (config.py): encoder-position crops derived
 # from measured batch content, snapped up to these buckets (plus the full
-# window) so the per-model executable count is bounded at 3. 512 covers
-# ≤~9.6 s utterances — the regime the r4 audioctx512 artifact measured at
-# +16.8% on the north-star model. Margin: 32 positions = 0.64 s of trailing
-# silence kept as context.
-AUDIO_CTX_BUCKETS = (512, 1024)
+# window) so the per-model executable count is bounded at 4, compiled
+# lazily. 256 covers ≤~4.5 s (the voice-command regime — the crop's
+# biggest win), 512 ≤~9.6 s — the regime the r4 audioctx512 artifact
+# measured at +16.8% on the north-star model. Margin: 32 positions =
+# 0.64 s of trailing silence kept as context.
+AUDIO_CTX_BUCKETS = (256, 512, 1024)
 AUDIO_CTX_MARGIN = 32
 _SAMPLES_PER_POS = 320  # hop 160 x encoder conv stride 2
 
