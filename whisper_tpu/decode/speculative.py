@@ -4,7 +4,7 @@ target model verifies the whole window in ONE forward.
 Decode on TPU is HBM-bound — every step re-reads the weights and both KV
 streams regardless of how many tokens it scores (PERF.md) — so scoring
 k+1 positions per target forward costs barely more than scoring one
-(measured 1.49× at large-v3 k=4, benchmarks/speculative_r05.json),
+(measured 1.57× at large-v3 k=4, benchmarks/speculative_r05.json),
 while advancing `accepted + 1` tokens per round. The output is
 **bit-identical to the target's own greedy decode** for ANY draft: a
 draft token is accepted only if it equals the target's rule-constrained
