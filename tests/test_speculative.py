@@ -62,9 +62,10 @@ class TestExactness:
         # draft == target: k accepted + 1 bonus per round → ceil(11/5)=3.
         assert int(stats["rounds"]) == 3
         # Rows need 11 post-first tokens: rounds 1-2 accept 4 drafts each
-        # (+1 bonus); round 3 is budget-clamped to a single token, so its
-        # 4 proposals per row count as drafted-but-wasted (honest rate).
-        assert int(stats["accepted"]) == 8 * 3
+        # (+1 bonus); round 3 is budget-clamped to ONE committed token,
+        # which is itself a matched draft (accepted), while the round's
+        # other 3 proposals count as drafted-but-wasted (honest rate).
+        assert int(stats["accepted"]) == 9 * 3
         assert int(stats["drafted"]) == 4 * 3 * 3
 
     def test_rules_and_bias_parity(self, setup):

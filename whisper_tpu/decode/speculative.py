@@ -259,8 +259,13 @@ def speculative_greedy_decode(
         new_finished = s.finished | (any_eot & (first_eot <= adv))
         new_pos = pos + adv
         new_finished = new_finished | (new_pos >= total_len)
+        # Committed DRAFT tokens: the first min(m, adv) commits are matched
+        # proposals — when adv <= m (EOT/budget clamp mid-run) ALL commits
+        # are drafts, including a draft-proposed EOT (review r5: min(m,
+        # adv-1) treated the clamped last commit as a correction and
+        # biased the reported acceptance rate low).
         acc = jnp.sum(
-            jnp.where(s.finished, 0, jnp.minimum(m, jnp.maximum(adv - 1, 0)))
+            jnp.where(s.finished, 0, jnp.minimum(m, adv))
         )
         return SpecState(
             pos=new_pos,

@@ -106,6 +106,35 @@ AUDIO_CTX_MARGIN = 32
 _SAMPLES_PER_POS = 320  # hop 160 x encoder conv stride 2
 
 
+def last_content_index(batch: np.ndarray, chunk: int = 16384) -> int:
+    """Index of the last non-zero sample column of a [B, N] host batch, or
+    -1 for all-silence. Scans column chunks from the END so typical
+    batches touch one chunk instead of reducing the whole 61 MB buffer
+    (the full-batch np.any scan measured as real per-dispatch host cost
+    in the tiny-path attribution — review r5)."""
+    n = batch.shape[-1]
+    for end in range(n, 0, -chunk):
+        start = max(0, end - chunk)
+        seg = batch[:, start:end]
+        if seg.any():
+            cols = np.flatnonzero(np.any(seg != 0, axis=0))
+            return start + int(cols[-1])
+    return -1
+
+
+def snap_audio_ctx(last_idx: int, full: int) -> Optional[int]:
+    """Map the last content sample index to the covering crop bucket
+    (None = full window) — the ONE place the "auto" menu arithmetic
+    lives; the engine's resolver and the async admission key both call
+    it, so they can never drift apart."""
+    frames = (last_idx // _SAMPLES_PER_POS + 1) if last_idx >= 0 else 1
+    need = frames + AUDIO_CTX_MARGIN
+    for b in AUDIO_CTX_BUCKETS:
+        if need <= b < full:
+            return b
+    return None
+
+
 @jax.jit
 def _i16_to_f32(x: jnp.ndarray) -> jnp.ndarray:
     """On-device inverse of audio/wav.py's int16 read scale (i / 32768)."""
@@ -1146,13 +1175,7 @@ class Engine:
             return ac if ac < full else None
         if isinstance(batch, jax.Array):  # pre-placed global array
             return None
-        cols = np.flatnonzero(np.any(np.asarray(batch) != 0, axis=0))
-        frames = (int(cols[-1]) // _SAMPLES_PER_POS + 1) if len(cols) else 1
-        need = frames + AUDIO_CTX_MARGIN
-        for b in AUDIO_CTX_BUCKETS:
-            if need <= b < full:
-                return b
-        return None
+        return snap_audio_ctx(last_content_index(np.asarray(batch)), full)
 
     def _enc_constraint(
         self, enc_out: jnp.ndarray, audio_ctx: Optional[int] = None
@@ -1196,10 +1219,16 @@ class Engine:
 
     @classmethod
     def from_random(
-        cls, config: EngineConfig, seed: int = 0, vocab: Optional[Vocab] = None
+        cls,
+        config: EngineConfig,
+        seed: int = 0,
+        vocab: Optional[Vocab] = None,
+        draft_params: Optional[Params] = None,
     ) -> "Engine":
         """Random-weights engine for tests and benchmarks (perf is
-        weight-value independent)."""
+        weight-value independent). ``draft_params`` (real draft weights
+        under a random target — unusual but valid) pass through; None
+        random-inits the draft when config.draft_model is set."""
         dims = config.dims()
         params = init_params(
             dims, jax.random.PRNGKey(seed), dtype=jnp.dtype(config.dtype)
@@ -1209,7 +1238,10 @@ class Engine:
             num_languages=num_languages_for(dims.n_vocab),
         )
         filters = mel_filterbank(n_mels=dims.n_mels)
-        return cls(_Assets(params, dims, vocab, filters), config)
+        return cls(
+            _Assets(params, dims, vocab, filters), config,
+            draft_params=draft_params,
+        )
 
     @classmethod
     def from_assets(
@@ -1500,7 +1532,7 @@ def create_engine(
     target's exact greedy decode regardless, see decode/speculative.py)."""
     cls = Monolith if EngineType(engine_type) == EngineType.MONOLITH else EncDec
     if params is None:
-        return cls.from_random(config, seed=seed)
+        return cls.from_random(config, seed=seed, draft_params=draft_params)
     return cls.from_assets(
         params, config, vocab_bin=vocab_bin, draft_params=draft_params
     )

@@ -76,6 +76,9 @@ class TranscribeServer:
             from whisper_tpu.engine.serving import AsyncTranscriber
 
             self._transcriber = AsyncTranscriber(engine, max_batch=max_batch)
+            # Compile the flush-shaped pipeline for every audio_ctx crop
+            # bucket up front (same first-request stall as continuous).
+            self._transcriber.warmup()
         elif mode == "sync":
             self._transcriber = None
         else:

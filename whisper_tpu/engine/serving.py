@@ -97,52 +97,80 @@ class AsyncTranscriber:
         self.close()
 
     # --- worker ------------------------------------------------------------
-    def _bucket_of(self, samples: np.ndarray) -> int:
-        """Length-aware admission key (r5): utterances whose audio_ctx
-        crop resolves identically batch together, so the "auto" crop
-        (engine.py _resolve_audio_ctx) actually applies under mixed-length
-        load — one 30 s utterance in a FIFO batch of 3 s clips would
-        otherwise pin every row to the full window. Constant (single
-        group, legacy FIFO) unless the engine runs audio_ctx="auto"."""
-        if self.engine.config.audio_ctx != "auto":
-            return 0
+    def warmup(self) -> None:
+        """Compile the flush-shaped pipeline for every audio_ctx crop
+        bucket up front — under the default audio_ctx="auto" each length
+        class otherwise hits its multi-second compile on the first live
+        request that reaches it (review r5)."""
         from whisper_tpu.engine.engine import (
             AUDIO_CTX_BUCKETS,
             AUDIO_CTX_MARGIN,
             _SAMPLES_PER_POS,
         )
 
-        n = min(len(samples), N_SAMPLES)
-        need = (max(n - 1, 0) // _SAMPLES_PER_POS + 1) + AUDIO_CTX_MARGIN
-        full = self.engine.dims.n_audio_ctx
-        for b in AUDIO_CTX_BUCKETS:
-            if need <= b < full:
-                return b
-        return full
+        if self.engine.config.audio_ctx == "auto":
+            lens = [
+                (b - AUDIO_CTX_MARGIN - 1) * _SAMPLES_PER_POS
+                for b in AUDIO_CTX_BUCKETS
+            ] + [N_SAMPLES]
+        else:
+            lens = [N_SAMPLES]
+        for n in lens:
+            x = np.zeros((self.max_batch, min(n, N_SAMPLES)), np.float32)
+            x[:, -1] = 1e-4  # content through the last sample pins the bucket
+            self.engine.transcribe_batch(x)
+
+    def _bucket_of(self, samples: np.ndarray) -> int:
+        """Length-aware admission key (r5): utterances whose audio_ctx
+        crop resolves identically batch together, so the "auto" crop
+        (engine.py _resolve_audio_ctx) actually applies under mixed-length
+        load — one 30 s utterance in a FIFO batch of 3 s clips would
+        otherwise pin every row to the full window. Keyed on measured
+        CONTENT (last non-zero sample — the same scan the engine resolves
+        the crop from), not buffer length: VAD/ring-buffer callers submit
+        fixed-size zero-padded buffers whose content is short (review
+        r5). Constant (single group, legacy FIFO) unless the engine runs
+        audio_ctx="auto"."""
+        if self.engine.config.audio_ctx != "auto":
+            return 0
+        from whisper_tpu.engine.engine import (
+            last_content_index,
+            snap_audio_ctx,
+        )
+
+        last = last_content_index(samples[None, : N_SAMPLES])
+        return snap_audio_ctx(last, self.engine.dims.n_audio_ctx) or 0
 
     def _flush_group(
         self, pending: List[tuple], bucket: Optional[int] = None
     ) -> List[tuple]:
-        """Flush up to max_batch pending ``(bucket, request)`` entries of
-        one bucket — the given one, else the OLDEST entry's (deadline
-        expiry: the head of the queue is never starved by later arrivals
-        of other lengths). Returns the rest."""
-        b0 = pending[0][0] if bucket is None else bucket
+        """Flush up to max_batch pending ``(arrival_ts, bucket, request)``
+        entries of one bucket — the given one, else the OLDEST entry's.
+        Returns the rest."""
+        b0 = pending[0][1] if bucket is None else bucket
         take: List[_Request] = []
         keep: List[tuple] = []
         for entry in pending:
-            if len(take) < self.max_batch and entry[0] == b0:
-                take.append(entry[1])
+            if len(take) < self.max_batch and entry[1] == b0:
+                take.append(entry[2])
             else:
                 keep.append(entry)
         self._flush(take)
         return keep
 
     def _worker(self) -> None:
-        pending: List[tuple] = []  # (bucket, request), arrival order
+        # Entries are (arrival_ts, bucket, request) in arrival order. The
+        # flush deadline is anchored to the OLDEST pending arrival — NOT
+        # reset per loop iteration — so a minority-bucket request's wait
+        # is bounded by max_wait even under a sustained stream that keeps
+        # filling other buckets (review r5: a per-iteration deadline let
+        # full-bucket flushes starve the head indefinitely).
+        pending: List[tuple] = []
 
         def admit(req):
-            pending.append((self._bucket_of(req.samples), req))
+            pending.append(
+                (time.monotonic(), self._bucket_of(req.samples), req)
+            )
 
         while True:
             if not pending:
@@ -150,11 +178,11 @@ class AsyncTranscriber:
                 if req is None:
                     return
                 admit(req)
-            deadline = time.monotonic() + self.max_wait_s
             full_bucket = None
             while True:
+                head_deadline = pending[0][0] + self.max_wait_s
                 counts: dict = {}
-                for b, _ in pending:
+                for _, b, _r in pending:
                     counts[b] = counts.get(b, 0) + 1
                 full_bucket = next(
                     (b for b, c in counts.items() if c >= self.max_batch),
@@ -162,7 +190,7 @@ class AsyncTranscriber:
                 )
                 if full_bucket is not None:
                     break
-                timeout = deadline - time.monotonic()
+                timeout = head_deadline - time.monotonic()
                 if timeout <= 0:
                     break
                 try:
@@ -174,10 +202,17 @@ class AsyncTranscriber:
                         pending = self._flush_group(pending)
                     return
                 admit(nxt)
-            # A FULL bucket flushes as a whole batch (whichever bucket it
-            # is — flushing the head's possibly-singleton bucket here
-            # would dispatch an undersized batch before its deadline);
-            # deadline expiry flushes the head's bucket, FIFO-fair.
+            if full_bucket is not None and pending[0][0] + self.max_wait_s <= (
+                time.monotonic()
+            ):
+                # The head's wait expired while another bucket filled:
+                # serve the head's bucket first, then the full one on the
+                # next iteration (still pending and still full).
+                full_bucket = None
+            # A FULL bucket flushes as a whole batch (flushing the head's
+            # possibly-singleton bucket before its deadline would dispatch
+            # undersized batches); deadline expiry flushes the head's
+            # bucket, FIFO-fair with a max_wait-bounded wait.
             pending = self._flush_group(pending, full_bucket)
 
     def _flush(self, batch: List[_Request]) -> None:
