@@ -83,6 +83,13 @@ def main() -> int:
     config = EngineConfig(
         model=args.model, language=args.language, dtype=args.dtype,
         max_new_tokens=args.max_new,
+        # Pin the full audio window: this tool compares SCHEDULING, and
+        # the slot pool always decodes full-window (fixed slot geometry)
+        # while the async path would auto-crop short utterances — with
+        # random weights the crop changes EOT behavior and the rows stop
+        # being the same workload (observed: async decode_len_mean 45.6
+        # vs 91.5 under audio_ctx="auto").
+        audio_ctx=None,
     )
     if args.eot_bias is not None:
         from whisper_tpu.tokenizer.vocab import Vocab, num_languages_for
