@@ -269,6 +269,22 @@ def dryrun_multichip(n_devices: int) -> None:
         "lineage decode mode diverged from the eager path's tokens on a mesh"
     )
 
+    # Speculative decoding under sharding (r5): the draft scan's per-row
+    # scatter cache writes and the multi-token verify window partition
+    # under dp AND tp; output must equal the plain (non-draft) engine's
+    # greedy tokens across every layout — the exactness contract is
+    # draft- and sharding-independent.
+    ref_plain = _mesh_parity(
+        n_devices, "dev", samples, beam_size=1, max_new_tokens=6,
+    )
+    ref_spec = _mesh_parity(
+        n_devices, "dev", samples, beam_size=1, max_new_tokens=6,
+        draft_model="dev", k_draft=3,
+    )
+    assert ref_spec == ref_plain, (
+        "speculative decode diverged from plain greedy on a mesh"
+    )
+
     # Multi-process transcribe_files (subprocess pair, own device worlds) —
     # only meaningful where virtual CPU worlds can be spawned.
     _multiprocess_leg(n_devices)
