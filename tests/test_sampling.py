@@ -139,8 +139,11 @@ class TestGumbelSampling:
 
         eng = create_engine(
             EngineType.MONOLITH,
+            # audio_ctx=None: the teacher-forcing replica below encodes the
+            # full window, so the engine must too (the default "auto"
+            # crops this short fixture and legitimately shifts logprobs).
             _cfg(fallback_temperatures=(0.5,), logprob_threshold=None,
-                 compression_ratio_threshold=None),
+                 compression_ratio_threshold=None, audio_ctx=None),
             seed=0,
         )
         res = eng.transcribe_batch(audio[:1])[0]
